@@ -1,0 +1,309 @@
+"""Config system: dataclass schemas + YAML files + ``++key=value`` CLI overrides.
+
+Mirrors the reference's Hydra surface (priority CLI > yaml > dataclass defaults,
+reference README.md:135-139 and examples/asr_librispeech/asr_config.py:7-130)
+without depending on hydra/omegaconf. Key names are kept identical where they
+are load-bearing for users switching over (model_config.*, train_config.*,
+dataset_config.*, peft_config.*, log_config.*); GPU-specific knobs
+(enable_fsdp/enable_ddp/enable_deepspeed, FSDPConfig) are replaced by a single
+``ShardConfig`` describing the GSPMD mesh.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelConfig:
+    """Mirrors reference examples/asr_librispeech/asr_config.py:13-32."""
+
+    file: Optional[str] = None  # "path/to/recipe_model.py:model_factory"
+    llm_name: str = "tinyllama-1.1b"
+    llm_path: Optional[str] = None  # HF checkpoint dir (config.json + safetensors)
+    llm_type: str = "decoder_only"
+    llm_dim: int = 2048
+    encoder_name: Optional[str] = None  # whisper | wavlm | hubert | eat | beats | ...
+    encoder_ds_rate: int = 2
+    encoder_path: Optional[str] = None
+    encoder_dim: int = 1280
+    encoder_config: Optional[str] = None  # preset name, e.g. "whisper-tiny"
+    encoder_projector: str = "linear"  # linear | cov1d-linear | q-former
+    encoder_projector_ds_rate: int = 5
+    modal: str = "audio"
+    normalize: bool = False
+    encoder_type: str = "finetune"
+    qformer_layers: int = 8
+    query_len: int = 64
+    # TPU-specific:
+    dtype: str = "bfloat16"  # compute dtype
+    param_dtype: str = "float32"  # master params
+
+
+@dataclass
+class PeftConfig:
+    """Mirrors reference asr_config.py:34-43 (peft LoraConfig surface)."""
+
+    peft_method: str = "lora"
+    r: int = 8
+    lora_alpha: int = 32
+    target_modules: List[str] = field(default_factory=lambda: ["q_proj", "v_proj"])
+    bias: str = "none"
+    task_type: str = "CAUSAL_LM"
+    lora_dropout: float = 0.05
+    inference_mode: bool = False
+
+
+@dataclass
+class ShardConfig:
+    """One GSPMD mesh replaces enable_ddp/enable_fsdp/enable_deepspeed.
+
+    Axes follow the scaling-book recipe: data parallel outermost, ZeRO-3-style
+    parameter sharding on ``fsdp``, tensor parallel innermost (rides fastest
+    ICI links). ``dp=-1`` means "use all remaining devices".
+    """
+
+    dp: int = -1
+    fsdp: int = 1
+    tp: int = 1
+    remat: bool = True  # activation checkpointing on decoder blocks
+    remat_policy: str = "nothing_saveable"  # or "dots_saveable", "full"
+    scan_layers: bool = True  # lax.scan over decoder layers (fast compile)
+
+
+@dataclass
+class TrainConfig:
+    """Mirrors reference asr_config.py:45-85 minus GPU-specific knobs."""
+
+    model_name: str = "slam_tpu"
+    run_validation: bool = True
+    batch_size_training: int = 4
+    batching_strategy: str = "bucketing"  # bucketing | padding | packing
+    context_length: int = 4096
+    gradient_accumulation_steps: int = 1
+    num_epochs: int = 1
+    warmup_steps: int = 1000
+    total_steps: int = 100000
+    validation_interval: int = 1000
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    gamma: float = 0.85  # per-epoch lr decay (reference LambdaLR semantics)
+    seed: int = 42
+    val_batch_size: int = 1
+    use_peft: bool = False
+    peft_config: PeftConfig = field(default_factory=PeftConfig)
+    output_dir: str = "/tmp/slam_tpu_out"
+    save_model: bool = True
+    save_optimizer: bool = False
+    resume_from: Optional[str] = None
+    freeze_llm: bool = False
+    freeze_encoder: bool = False
+    shard: ShardConfig = field(default_factory=ShardConfig)
+    max_steps_per_epoch: int = -1  # debug: cap steps
+    log_interval: int = 5
+    specaug: bool = False
+
+
+@dataclass
+class DataConfig:
+    """Mirrors reference asr_config.py:87-112 plus bucket table."""
+
+    dataset: str = "speech_dataset"
+    file: Optional[str] = None  # "path/to/dataset.py:get_dataset_factory"
+    train_data_path: Optional[str] = None
+    val_data_path: Optional[str] = None
+    train_split: str = "train"
+    test_split: str = "validation"
+    prompt: Optional[str] = None
+    fix_length_audio: int = -1
+    inference_mode: bool = False
+    input_type: str = "mel"  # raw | mel
+    mel_size: int = 80
+    normalize: bool = False
+    # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
+    text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
+    audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])
+    num_workers: int = 2
+    prefetch: int = 2
+    shuffle_buffer: int = 2048
+
+
+@dataclass
+class LogConfig:
+    """Mirrors reference asr_config.py:125-133 (wandb optional/stubbed)."""
+
+    use_wandb: bool = False
+    wandb_dir: str = "/tmp/wandb"
+    wandb_entity_name: str = ""
+    wandb_project_name: str = "slam_tpu"
+    wandb_exp_name: str = "exp"
+    log_file: Optional[str] = None
+    log_interval: int = 5
+
+
+@dataclass
+class DecodeConfig:
+    """Generation knobs; defaults mirror reference slam_model.generate
+    (models/slam_model.py:439-454)."""
+
+    max_new_tokens: int = 200
+    num_beams: int = 4
+    do_sample: bool = False
+    min_length: int = 1
+    top_p: float = 1.0
+    top_k: int = 0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    temperature: float = 1.0
+    decode_log: str = "/tmp/decode_log"
+
+
+@dataclass
+class RunConfig:
+    """Top-level bundle handed to pipelines."""
+
+    model_config: ModelConfig = field(default_factory=ModelConfig)
+    train_config: TrainConfig = field(default_factory=TrainConfig)
+    dataset_config: DataConfig = field(default_factory=DataConfig)
+    log_config: LogConfig = field(default_factory=LogConfig)
+    decode_config: DecodeConfig = field(default_factory=DecodeConfig)
+    ckpt_path: Optional[str] = None
+    peft_ckpt: Optional[str] = None
+    debug: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Merge / override machinery
+# ---------------------------------------------------------------------------
+
+
+def _is_dataclass_instance(obj: Any) -> bool:
+    return dataclasses.is_dataclass(obj) and not isinstance(obj, type)
+
+
+def to_dict(cfg: Any) -> Any:
+    if _is_dataclass_instance(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def _coerce(value: Any, target: Any) -> Any:
+    """Coerce a YAML/CLI value to the type of the existing default."""
+    if target is None or value is None:
+        return value
+    if isinstance(target, bool):
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if isinstance(target, int) and not isinstance(target, bool):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    if isinstance(target, str):
+        return str(value)
+    if isinstance(target, (list, tuple)) and isinstance(value, str):
+        return yaml.safe_load(value)
+    return value
+
+
+def merge_into(cfg: Any, data: Dict[str, Any], _path: str = "") -> Any:
+    """Recursively merge a dict into a dataclass tree (in place), coercing types."""
+    for key, value in data.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"Unknown config key: {_path}{key}")
+        cur = getattr(cfg, key)
+        if _is_dataclass_instance(cur) and isinstance(value, dict):
+            merge_into(cur, value, _path=f"{_path}{key}.")
+        else:
+            setattr(cfg, key, _coerce(value, cur))
+    return cfg
+
+
+def set_by_path(cfg: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"Unknown config key: {dotted}")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"Unknown config key: {dotted}")
+    cur = getattr(obj, leaf)
+    parsed = yaml.safe_load(value) if isinstance(value, str) else value
+    setattr(obj, leaf, _coerce(parsed, cur))
+
+
+def parse_overrides(argv: List[str]) -> Tuple[Dict[str, str], List[str]]:
+    """Split argv into {dotted_key: raw_value} overrides and leftover args.
+
+    Accepts ``++key=val`` and ``key=val`` (hydra-style) tokens.
+    """
+    overrides: Dict[str, str] = {}
+    rest: List[str] = []
+    for tok in argv:
+        t = tok
+        if t.startswith("++"):
+            t = t[2:]
+        if "=" in t and not t.startswith("-"):
+            k, v = t.split("=", 1)
+            overrides[k] = v
+        else:
+            rest.append(tok)
+    return overrides, rest
+
+
+def load_run_config(argv: Optional[List[str]] = None, base: Optional[RunConfig] = None) -> RunConfig:
+    """Build a RunConfig from (defaults, optional --config yaml, CLI overrides).
+
+    Priority: CLI ``++k=v`` > yaml > dataclass defaults — identical to the
+    reference's documented hydra priority (README.md:135-139).
+    """
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = copy.deepcopy(base) if base is not None else RunConfig()
+
+    # --config path/to/file.yaml (also supports --config-path + --config-name)
+    yaml_path = None
+    cleaned: List[str] = []
+    i = 0
+    cfg_dir, cfg_name = None, None
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--config", "--config-file") and i + 1 < len(argv):
+            yaml_path = argv[i + 1]
+            i += 2
+        elif a == "--config-path" and i + 1 < len(argv):
+            cfg_dir = argv[i + 1]
+            i += 2
+        elif a == "--config-name" and i + 1 < len(argv):
+            cfg_name = argv[i + 1]
+            i += 2
+        else:
+            cleaned.append(a)
+            i += 1
+    if cfg_dir and cfg_name:
+        name = cfg_name if cfg_name.endswith((".yaml", ".yml")) else cfg_name + ".yaml"
+        yaml_path = f"{cfg_dir}/{name}"
+
+    if yaml_path:
+        with open(yaml_path, "r", encoding="utf-8") as f:
+            data = yaml.safe_load(f) or {}
+        merge_into(cfg, data)
+
+    overrides, _ = parse_overrides(cleaned)
+    for k, v in overrides.items():
+        set_by_path(cfg, k, v)
+    return cfg

@@ -1,0 +1,228 @@
+"""Shared neural building blocks (flax.linen, logical-axis-annotated).
+
+Every weight carries logical axis names via ``nn.with_logical_partitioning``;
+``slam_llm_tpu.parallel.sharding`` maps them onto the (dp, fsdp, tp) mesh.
+Compute runs in ``dtype`` (default bfloat16 — MXU-native), params are kept in
+``param_dtype`` (default float32 master copies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+class DenseGeneralLora(nn.Module):
+    """Dense layer with optional fused LoRA branch.
+
+    The LoRA delta (x @ A @ B * alpha/r) lives in the SAME jitted graph as the
+    frozen base matmul — this is the TPU replacement for peft's wrapper modules
+    (reference models/slam_model.py:210-218). A/B are separate named params so
+    the trainable-filter can select them by path (``lora_a``/``lora_b``).
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_axes: Tuple[Optional[str], ...] = (None, None)
+    kernel_init: Callable = default_kernel_init
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(self.kernel_init, self.kernel_axes),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(nn.initializers.zeros_init(), (self.kernel_axes[-1],)),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "lora_a",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(stddev=1.0 / self.lora_rank), (self.kernel_axes[0], "lora")
+                ),
+                (in_features, self.lora_rank),
+                self.param_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.with_logical_partitioning(nn.initializers.zeros_init(), ("lora", self.kernel_axes[-1])),
+                (self.lora_rank, self.features),
+                self.param_dtype,
+            )
+            scale = self.lora_alpha / self.lora_rank
+            h = x.astype(self.dtype)
+            if self.lora_dropout > 0.0 and not deterministic:
+                h = nn.Dropout(rate=self.lora_dropout)(h, deterministic=False)
+            delta = jnp.dot(jnp.dot(h, lora_a.astype(self.dtype)), lora_b.astype(self.dtype))
+            y = y + delta * scale
+        return y
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # reduce in fp32 for stability, cast back to compute dtype
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        norm = x32 * jax.lax.rsqrt(var + self.eps)
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.ones_init(), ("embed",)),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        return (norm * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: str = "embed"
+
+    @nn.compact
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        norm = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.ones_init(), (self.axis_name,)),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias",
+            nn.with_logical_partitioning(nn.initializers.zeros_init(), (self.axis_name,)),
+            (x.shape[-1],),
+            self.param_dtype,
+        )
+        return (norm * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (llama / qwen family)
+# ---------------------------------------------------------------------------
+
+
+def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
+    """x: (B, T, H, D); positions: (B, T) int32. HF-llama rotate-half layout."""
+    half = x.shape[-1] // 2
+    freqs = rope_frequencies(x.shape[-1], theta)  # (half,)
+    angles = positions.astype(jnp.float32)[..., None] * freqs[None, None, :]  # (B,T,half)
+    cos = jnp.cos(angles)[:, :, None, :]  # (B,T,1,half)
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    x32_1, x32_2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = x32_1 * cos - x32_2 * sin
+    out2 = x32_2 * cos + x32_1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention core
+# ---------------------------------------------------------------------------
+
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha_attention(
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, Hkv, D)
+    v: jnp.ndarray,  # (B, Tk, Hkv, D)
+    bias: Optional[jnp.ndarray] = None,  # (B, 1|H, Tq, Tk) additive, fp32
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head attention with GQA. XLA path everywhere; Pallas flash kernel
+    on TPU when shapes qualify (see ops/kernels/flash_attention.py).
+    """
+    if use_pallas is None:
+        use_pallas = _should_use_pallas(q)
+    if use_pallas:
+        from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+    return _xla_attention(q, k, v, bias)
+
+
+def _should_use_pallas(q: jnp.ndarray) -> bool:
+    try:
+        platform = q.devices().pop().platform if hasattr(q, "devices") else jax.default_backend()
+    except Exception:
+        platform = jax.default_backend()
+    if platform != "tpu":
+        return False
+    # flash kernel wants reasonably long sequences and 128-aligned head_dim
+    return q.shape[1] >= 256 and q.shape[-1] % 128 == 0
+
+
+def _xla_attention(q, k, v, bias):
+    b, tq, h, d = q.shape
+    hkv = k.shape[2]
+    groups = h // hkv
+    qf = q.astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def make_causal_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, T) padding mask -> (B, 1, T, T) additive causal+padding bias."""
+    t = attention_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)
+
+
+def make_padding_bias(attention_mask: jnp.ndarray, q_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, Tk) key padding mask -> (B, 1, q_len, Tk) additive bias (bidirectional)."""
+    mask = attention_mask[:, None, None, :].astype(bool)
+    mask = jnp.broadcast_to(mask, (attention_mask.shape[0], 1, q_len, attention_mask.shape[-1]))
+    return jnp.where(mask, 0.0, NEG_INF).astype(dtype)
+
+
+def sinusoidal_positions(length: int, channels: int, max_timescale: float = 10000.0) -> jnp.ndarray:
+    """Whisper-style fixed sinusoid table: (length, channels)."""
+    log_inc = jnp.log(max_timescale) / (channels // 2 - 1)
+    inv = jnp.exp(-log_inc * jnp.arange(channels // 2, dtype=jnp.float32))
+    scaled = jnp.arange(length, dtype=jnp.float32)[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)

@@ -1,0 +1,366 @@
+"""Decoder-only causal LLM (llama / vicuna / tinyllama / qwen2 families).
+
+TPU-first design choices vs the reference's HF ``AutoModelForCausalLM``
+(reference models/slam_model.py:118-221):
+
+* one ``nn.scan`` over layers with params stacked on a ``layers`` axis —
+  O(1) compile time in depth, remat-friendly;
+* explicit functional KV cache (a pytree argument, not module state) so beam
+  search can gather/reorder cache pages inside jit;
+* LoRA lives as extra (lora_a, lora_b) params inside the same jitted graph —
+  the trainable-parameter filter selects them by name (replaces peft);
+* bf16 compute / fp32 params, fp32 logits.
+
+The same module runs prefill over spliced ``inputs_embeds`` (the north-star
+requirement) and single-token decode steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slam_llm_tpu.models.layers import (
+    NEG_INF,
+    DenseGeneralLora,
+    RMSNorm,
+    apply_rope,
+    make_causal_bias,
+    mha_attention,
+)
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    d_model: int = 2048
+    n_layers: int = 22
+    n_heads: int = 32
+    n_kv_heads: int = 4
+    head_dim: int = 64
+    ffn_dim: int = 5632
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    qkv_bias: bool = False  # qwen2 uses bias on q/k/v
+    tied_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    # LoRA
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    lora_targets: Tuple[str, ...] = ("q_proj", "v_proj")
+    # compile strategy
+    scan_layers: bool = True
+    remat: bool = True
+    remat_policy: str = "nothing_saveable"
+
+    @staticmethod
+    def tinyllama_1_1b() -> "LLMConfig":
+        return LLMConfig()
+
+    @staticmethod
+    def vicuna_7b() -> "LLMConfig":
+        return LLMConfig(
+            vocab_size=32000, d_model=4096, n_layers=32, n_heads=32, n_kv_heads=32,
+            head_dim=128, ffn_dim=11008, rms_eps=1e-5,
+        )
+
+    @staticmethod
+    def qwen2_7b() -> "LLMConfig":
+        return LLMConfig(
+            vocab_size=152064, d_model=3584, n_layers=28, n_heads=28, n_kv_heads=4,
+            head_dim=128, ffn_dim=18944, rope_theta=1000000.0, rms_eps=1e-6, qkv_bias=True,
+        )
+
+    @staticmethod
+    def tiny_test(vocab_size: int = 256) -> "LLMConfig":
+        """CPU-runnable config for tests."""
+        return LLMConfig(
+            vocab_size=vocab_size, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            head_dim=16, ffn_dim=128,
+        )
+
+
+# Cache for one layer stack: k/v shaped (L, B, max_len, n_kv, head_dim)
+KVCache = Dict[str, jnp.ndarray]
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def reorder_cache(cache: KVCache, beam_indices: jnp.ndarray) -> KVCache:
+    """Gather cache rows along the batch axis (beam search reorder)."""
+    return {k: jnp.take(v, beam_indices, axis=1) for k, v in cache.items()}
+
+
+class Attention(nn.Module):
+    cfg: LLMConfig
+
+    def _dense(self, name: str, features: int) -> DenseGeneralLora:
+        c = self.cfg
+        rank = c.lora_rank if name in c.lora_targets else 0
+        axes = ("embed", "heads") if name != "o_proj" else ("heads", "embed")
+        return DenseGeneralLora(
+            features=features,
+            use_bias=c.qkv_bias and name != "o_proj",
+            dtype=c.dtype,
+            param_dtype=c.param_dtype,
+            kernel_axes=axes,
+            lora_rank=rank,
+            lora_alpha=c.lora_alpha,
+            lora_dropout=c.lora_dropout,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, D)
+        bias: Optional[jnp.ndarray],
+        positions: jnp.ndarray,  # (B, T)
+        cache_k: Optional[jnp.ndarray] = None,  # (B, max_len, n_kv, hd)
+        cache_v: Optional[jnp.ndarray] = None,
+        cache_index: Optional[jnp.ndarray] = None,  # scalar int32: write offset
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        b, t, _ = x.shape
+        q = self._dense("q_proj", c.n_heads * c.head_dim)(x, deterministic)
+        k = self._dense("k_proj", c.n_kv_heads * c.head_dim)(x, deterministic)
+        v = self._dense("v_proj", c.n_kv_heads * c.head_dim)(x, deterministic)
+        q = q.reshape(b, t, c.n_heads, c.head_dim)
+        k = k.reshape(b, t, c.n_kv_heads, c.head_dim)
+        v = v.reshape(b, t, c.n_kv_heads, c.head_dim)
+        q = apply_rope(q, positions, c.rope_theta)
+        k = apply_rope(k, positions, c.rope_theta)
+
+        new_cache = None
+        if cache_k is not None:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            k, v = cache_k, cache_v
+            new_cache = (cache_k, cache_v)
+
+        out = mha_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias=bias)
+        out = out.reshape(b, t, c.n_heads * c.head_dim)
+        out = self._dense("o_proj", c.d_model)(out, deterministic)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = self.cfg
+        dense = partial(
+            DenseGeneralLora, dtype=c.dtype, param_dtype=c.param_dtype,
+            lora_alpha=c.lora_alpha, lora_dropout=c.lora_dropout,
+        )
+        gate = dense(
+            features=c.ffn_dim, kernel_axes=("embed", "mlp"),
+            lora_rank=c.lora_rank if "gate_proj" in c.lora_targets else 0, name="gate_proj",
+        )(x, deterministic)
+        up = dense(
+            features=c.ffn_dim, kernel_axes=("embed", "mlp"),
+            lora_rank=c.lora_rank if "up_proj" in c.lora_targets else 0, name="up_proj",
+        )(x, deterministic)
+        h = nn.silu(gate) * up
+        return dense(
+            features=c.d_model, kernel_axes=("mlp", "embed"),
+            lora_rank=c.lora_rank if "down_proj" in c.lora_targets else 0, name="down_proj",
+        )(h, deterministic)
+
+
+class DecoderLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self, x, bias, positions,
+        cache_k=None, cache_v=None, cache_index=None, deterministic: bool = True,
+    ):
+        c = self.cfg
+        h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="input_norm")(x)
+        attn_out, new_cache = Attention(c, name="attn")(
+            h, bias, positions, cache_k, cache_v, cache_index, deterministic
+        )
+        x = x + attn_out
+        h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="post_attn_norm")(x)
+        x = x + MLP(c, name="mlp")(h, deterministic)
+        return x, new_cache
+
+
+class _ScannedDecoder(nn.Module):
+    """One ``nn.scan`` over a stacked ``layers`` param axis.
+
+    The same params serve the training path (``cache=None``, remat applied)
+    and the inference path (KV cache threaded through the scan as ``xs``/``ys``).
+    """
+
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        bias,
+        positions,
+        cache: Optional[KVCache] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        layer_cls = DecoderLayer
+        if c.remat and cache is None:
+            layer_cls = nn.remat(
+                DecoderLayer,
+                policy=_remat_policy(c.remat_policy),
+                prevent_cse=False,
+                static_argnums=(6,),
+            )
+
+        def body(block, carry, layer_cache):
+            x, bias, positions, cache_index = carry
+            ck, cv = (None, None) if layer_cache is None else layer_cache
+            y, new_cache = block(x, bias, positions, ck, cv, cache_index, deterministic)
+            return (y, bias, positions, cache_index), new_cache
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=c.n_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        xs = None if cache is None else (cache["k"], cache["v"])
+        (x, _, _, _), stacked = scan(layer_cls(c, name="layers"), (x, bias, positions, cache_index), xs)
+        new_cache = None if stacked is None else {"k": stacked[0], "v": stacked[1]}
+        return x, new_cache
+
+
+def _remat_policy(name: str):
+    if name == "full":
+        return None
+    if name == "dots_saveable":
+        return jax.checkpoint_policies.dots_saveable
+    return jax.checkpoint_policies.nothing_saveable
+
+
+class CausalLM(nn.Module):
+    """Embedding + decoder stack + head. Consumes ids OR pre-spliced embeds."""
+
+    cfg: LLMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(
+            num_embeddings=c.vocab_size,
+            features=c.d_model,
+            dtype=c.dtype,
+            param_dtype=c.param_dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=1.0), ("vocab", "embed")
+            ),
+            name="embed_tokens",
+        )
+        self.decoder = _ScannedDecoder(c, name="decoder")
+        self.final_norm = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="final_norm")
+        if not c.tied_embeddings:
+            self.lm_head = DenseGeneralLora(
+                features=c.vocab_size, dtype=c.dtype, param_dtype=c.param_dtype,
+                kernel_axes=("embed", "vocab"), name="lm_head",
+            )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def init_all(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+        """Init entry point touching every parameter (embed + decoder + head).
+
+        ``__call__`` consumes pre-computed embeddings, so initializing through
+        it alone would never materialize the embedding table; use
+        ``model.init(rng, ids, mask, method='init_all')``.
+        """
+        return self(self.embed(input_ids), attention_mask)
+
+    def _head(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.tied_embeddings:
+            logits = self.embed_tokens.attend(x.astype(self.cfg.dtype))
+        else:
+            logits = self.lm_head(x)
+        return logits.astype(jnp.float32)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, T, D)
+        attention_mask: jnp.ndarray,  # (B, T)
+        positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        bias = make_causal_bias(attention_mask)
+        x = inputs_embeds.astype(self.cfg.dtype)
+        x, _ = self.decoder(x, bias, positions, None, None, deterministic)
+        x = self.final_norm(x)
+        return self._head(x)
+
+    def prefill(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, T, D) — prompt (audio spliced in)
+        attention_mask: jnp.ndarray,  # (B, T)
+        cache: KVCache,  # max_len >= T + new tokens
+        positions: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """Write the prompt into the cache at offset 0; return last-pos logits."""
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        t = inputs_embeds.shape[1]
+        max_len = cache["k"].shape[2]
+        # bias over full cache length: causal within [0, t), mask the tail
+        causal = make_causal_bias(attention_mask)  # (B,1,T,T)
+        tail = jnp.full((attention_mask.shape[0], 1, t, max_len - t), NEG_INF, jnp.float32)
+        bias = jnp.concatenate([causal, tail], axis=-1)
+        x = inputs_embeds.astype(self.cfg.dtype)
+        x, cache = self.decoder(x, bias, positions, cache, jnp.int32(0))
+        x = self.final_norm(x)
+        return self._head(x), cache
+
+    def decode_step(
+        self,
+        token_embeds: jnp.ndarray,  # (B, 1, D)
+        cache: KVCache,
+        cache_index: jnp.ndarray,  # scalar int32: position to write
+        attention_mask: jnp.ndarray,  # (B, max_len) — valid cache slots incl. this one
+        positions: jnp.ndarray,  # (B, 1)
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        from slam_llm_tpu.models.layers import make_padding_bias
+
+        bias = make_padding_bias(attention_mask, q_len=1)
+        x = token_embeds.astype(self.cfg.dtype)
+        x, cache = self.decoder(x, bias, positions, cache, cache_index)
+        x = self.final_norm(x)
+        return self._head(x), cache
+
+
+def _positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Left-padding-safe positions: cumsum over the mask (pads get clamped 0)."""
+    pos = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)

@@ -1,0 +1,76 @@
+"""Config system tests: priority CLI > yaml > dataclass defaults
+(mirrors reference README.md:135-139 semantics)."""
+
+import textwrap
+
+from slam_llm_tpu.config import RunConfig, load_run_config, merge_into, set_by_path
+
+
+def test_defaults():
+    cfg = RunConfig()
+    assert cfg.model_config.encoder_projector == "linear"
+    assert cfg.train_config.lr == 1e-4
+    assert cfg.train_config.shard.dp == -1
+
+
+def test_yaml_overrides_defaults(tmp_path):
+    y = tmp_path / "conf.yaml"
+    y.write_text(
+        textwrap.dedent(
+            """
+            model_config:
+              llm_name: vicuna-7b
+              llm_dim: 4096
+            train_config:
+              lr: 5.0e-5
+              num_epochs: 3
+            """
+        )
+    )
+    cfg = load_run_config(["--config", str(y)])
+    assert cfg.model_config.llm_name == "vicuna-7b"
+    assert cfg.model_config.llm_dim == 4096
+    assert cfg.train_config.lr == 5e-5
+    assert cfg.train_config.num_epochs == 3
+
+
+def test_cli_beats_yaml(tmp_path):
+    y = tmp_path / "conf.yaml"
+    y.write_text("train_config:\n  lr: 5.0e-5\n")
+    cfg = load_run_config(["--config", str(y), "++train_config.lr=1e-3"])
+    assert cfg.train_config.lr == 1e-3
+
+
+def test_nested_dotted_override():
+    cfg = load_run_config(["++train_config.shard.tp=4", "++train_config.peft_config.r=16"])
+    assert cfg.train_config.shard.tp == 4
+    assert cfg.train_config.peft_config.r == 16
+
+
+def test_type_coercion():
+    cfg = load_run_config(
+        ["++train_config.run_validation=false", "++dataset_config.text_buckets=[32,64]"]
+    )
+    assert cfg.train_config.run_validation is False
+    assert cfg.dataset_config.text_buckets == [32, 64]
+
+
+def test_unknown_key_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        load_run_config(["++train_config.no_such_key=1"])
+    with pytest.raises(KeyError):
+        merge_into(RunConfig(), {"bogus_section": {}})
+
+
+def test_config_path_config_name(tmp_path):
+    (tmp_path / "prompt.yaml").write_text("dataset_config:\n  prompt: 'Transcribe.'\n")
+    cfg = load_run_config(["--config-path", str(tmp_path), "--config-name", "prompt"])
+    assert cfg.dataset_config.prompt == "Transcribe."
+
+
+def test_set_by_path_none_default():
+    cfg = RunConfig()
+    set_by_path(cfg, "model_config.encoder_path", "/some/path")
+    assert cfg.model_config.encoder_path == "/some/path"
