@@ -1,0 +1,185 @@
+"""Host-side data loading: length-grouped batching + threaded prefetch.
+
+Replaces torch's DataLoader/Sampler stack. ``LengthBasedBatchSampler``
+mirrors the reference's sampler semantics (reference data/sampler.py:11-40:
+sort by length -> contiguous batches -> shuffle batch order) so batches are
+length-homogeneous — which with bucketed collation (speech_dataset.py)
+minimizes padding waste AND the number of distinct compiled shapes.
+
+``PrefetchLoader`` overlaps host work (wav decode, mel, tokenize, collate)
+with device steps via a small thread pool + bounded queue, the host half of
+the double-buffering the TPU needs to stay busy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class LengthBasedBatchSampler:
+    """Sort-by-length -> fixed-size batches -> shuffled batch order."""
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        batch_size: int,
+        drop_last: bool = True,
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.lengths = list(lengths)
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[List[int]]:
+        order = np.argsort(np.asarray(self.lengths), kind="stable")
+        batches = [
+            order[i : i + self.batch_size].tolist()
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(batches)
+        return iter(batches)
+
+    def __len__(self) -> int:
+        n = len(self.lengths) // self.batch_size
+        if not self.drop_last and len(self.lengths) % self.batch_size:
+            n += 1
+        return n
+
+
+class DistributedLengthBasedBatchSampler:
+    """Rank-strided view over LengthBasedBatchSampler batches
+    (reference data/sampler.py:42-57 islice semantics)."""
+
+    def __init__(self, lengths, batch_size, num_replicas: int, rank: int, **kw):
+        self.base = LengthBasedBatchSampler(lengths, batch_size, **kw)
+        self.num_replicas = num_replicas
+        self.rank = rank
+
+    def set_epoch(self, epoch: int) -> None:
+        self.base.set_epoch(epoch)
+
+    def __iter__(self):
+        for i, batch in enumerate(self.base):
+            if i % self.num_replicas == self.rank:
+                yield batch
+
+    def __len__(self):
+        return len(self.base) // self.num_replicas
+
+
+class PrefetchLoader:
+    """Iterate collated batches with background workers.
+
+    ``dataset`` must support ``__getitem__`` and provide ``collator``;
+    ``sampler`` yields lists of indices. Batches are materialized by a thread
+    pool and buffered in a bounded queue (depth ``prefetch``).
+    """
+
+    _END = object()
+
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        collator: Optional[Callable] = None,
+        num_workers: int = 2,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.collator = collator or dataset.collator
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    # pipeline: submit loads for upcoming batches, keep order
+                    pending = []
+                    it = iter(self.sampler)
+                    depth = self.prefetch + 1
+
+                    def submit_next():
+                        try:
+                            idxs = next(it)
+                        except StopIteration:
+                            return False
+                        fut = pool.submit(
+                            lambda ii: self.collator([self.dataset[j] for j in ii]), idxs
+                        )
+                        pending.append(fut)
+                        return True
+
+                    for _ in range(depth):
+                        if not submit_next():
+                            break
+                    while pending:
+                        if stop.is_set():
+                            return
+                        batch = pending.pop(0).result()
+                        submit_next()
+                        q.put(batch)
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(self._END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is self._END:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_dataloader(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    num_workers: int = 2,
+    prefetch: int = 2,
+    num_replicas: int = 1,
+    rank: int = 0,
+    seed: int = 0,
+) -> PrefetchLoader:
+    lengths = [dataset.sort_key(i) for i in range(len(dataset))]
+    if num_replicas > 1:
+        sampler = DistributedLengthBasedBatchSampler(
+            lengths, batch_size, num_replicas, rank,
+            drop_last=drop_last, shuffle=shuffle, seed=seed,
+        )
+    else:
+        sampler = LengthBasedBatchSampler(
+            lengths, batch_size, drop_last=drop_last, shuffle=shuffle, seed=seed
+        )
+    return PrefetchLoader(dataset, sampler, num_workers=num_workers, prefetch=prefetch)

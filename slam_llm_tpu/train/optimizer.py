@@ -1,0 +1,101 @@
+"""Optimizer + trainable/frozen parameter partitioning.
+
+The reference freezes the encoder and (unless LoRA) the LLM by setting
+``requires_grad=False`` and passing only trainable params to AdamW
+(reference models/slam_model.py:103-116,210-218; pipeline/finetune.py:237-251).
+
+Here the ONE param pytree is *split* into (trainable, frozen) subtrees and the
+loss is differentiated only w.r.t. the trainable subtree — so backward never
+computes weight-gradients for the frozen 7B LLM (activations still backprop
+through it, exactly like torch autograd with requires_grad=False), and no
+optimizer moments exist for frozen params (SURVEY.md §7.3 item 6: projector
+~16-21M trainable while the LLM is frozen).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import optax
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+def param_label(path_s: str, slam_cfg) -> str:
+    """'train' or 'freeze' for a param path.
+
+    Policy (mirrors the reference's requires_grad setup):
+      * encoder_projector/*  -> always train
+      * lora_a / lora_b      -> always train (LoRA)
+      * encoder/*            -> freeze iff cfg.freeze_encoder
+      * llm/*                -> freeze iff cfg.freeze_llm
+      * anything else        -> train
+    """
+    if "encoder_projector" in path_s:
+        return "train"
+    if "lora_a" in path_s or "lora_b" in path_s:
+        return "train"
+    if path_s.startswith("encoder/") or "/encoder/" in path_s or path_s.startswith("params/encoder"):
+        return "freeze" if slam_cfg.freeze_encoder else "train"
+    if path_s.startswith("llm/") or "/llm/" in path_s or path_s.startswith("params/llm"):
+        return "freeze" if slam_cfg.freeze_llm else "train"
+    return "train"
+
+
+def partition_params(params: Any, slam_cfg) -> Tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen); None marks the holes."""
+    trainable = jax.tree_util.tree_map_with_path(
+        lambda p, x: x if param_label(_path_str(p), slam_cfg) == "train" else None, params
+    )
+    frozen = jax.tree_util.tree_map_with_path(
+        lambda p, x: x if param_label(_path_str(p), slam_cfg) == "freeze" else None, params
+    )
+    return trainable, frozen
+
+
+def merge_params(trainable: Any, frozen: Any) -> Any:
+    """Inverse of partition_params (None holes filled from the other tree)."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def count_params(tree: Any) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def lr_schedule(train_config) -> Callable:
+    """Linear warmup then linear decay to 10% over total_steps (the reference's
+    warmup-linear LambdaLR shape, pipeline/finetune.py:253-260)."""
+    tc = train_config
+    warmup = max(1, tc.warmup_steps)
+    total = max(tc.total_steps, warmup + 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, tc.lr, warmup),
+            optax.linear_schedule(tc.lr, tc.lr * 0.1, total - warmup),
+        ],
+        [warmup],
+    )
+
+
+def make_optimizer(train_config) -> Tuple[optax.GradientTransformation, Callable]:
+    """AdamW (+global-norm clip) over the trainable subtree, with in-graph
+    gradient accumulation via MultiSteps when configured."""
+    tc = train_config
+    sched = lr_schedule(tc)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(
+            learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay
+        ),
+    )
+    if tc.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.gradient_accumulation_steps)
+    return tx, sched

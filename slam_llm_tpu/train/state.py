@@ -1,0 +1,138 @@
+"""Sharded train state + jitted train/eval steps.
+
+Replaces the reference's FSDP/DDP/DeepSpeed wrapping + autocast + GradScaler
+loop body (reference utils/train_utils.py:100-169) with ONE jitted function
+over a GSPMD mesh: forward (bf16) -> loss (fp32) -> backward w.r.t. the
+trainable subtree only -> AdamW update. No loss scaling (bf16 on TPU), no
+explicit collectives (XLA inserts them from the shardings).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slam_llm_tpu.parallel.sharding import batch_sharding, logical_to_sharding
+from slam_llm_tpu.train.optimizer import (
+    make_optimizer,
+    merge_params,
+    partition_params,
+)
+
+TrainState = Dict[str, Any]  # {"trainable", "frozen", "opt_state", "step"}
+
+
+@dataclass
+class Trainer:
+    """Holds the jitted step functions + shardings for one model/mesh pair."""
+
+    model: nn.Module
+    slam_cfg: Any
+    train_config: Any
+    mesh: Mesh
+    tx: Any
+    sched: Callable
+    param_shardings: Any = None
+    train_step: Callable = None
+    eval_step: Callable = None
+
+    def create_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        model, mesh = self.model, self.mesh
+        batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
+
+        def init_fn(r):
+            variables = model.init(r, batch, method="init_all")
+            return nn.meta.unbox(variables["params"])
+
+        abs_boxed = jax.eval_shape(
+            lambda r: self.model.init(r, batch, method="init_all"), rng
+        )["params"]
+        logical_spec = nn.get_partition_spec(abs_boxed)
+        self.param_shardings = logical_to_sharding(mesh, logical_spec)
+
+        with mesh:
+            params = jax.jit(init_fn, out_shardings=self.param_shardings)(rng)
+            trainable, frozen = partition_params(params, self.slam_cfg)
+            opt_state = jax.jit(self.tx.init)(trainable)
+        return {
+            "trainable": trainable,
+            "frozen": frozen,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def build_steps(self, use_dropout: bool = False) -> None:
+        model, tx, sched = self.model, self.tx, self.sched
+
+        def train_step(state: TrainState, batch, dropout_rng):
+            def loss_fn(trainable):
+                params = merge_params(trainable, state["frozen"])
+                rngs = {"dropout": dropout_rng} if use_dropout else None
+                out = model.apply(
+                    {"params": params}, batch, deterministic=not use_dropout, rngs=rngs
+                )
+                return out["loss"], out["acc"]
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["trainable"]
+            )
+            updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
+            trainable = jax.tree_util.tree_map(
+                lambda p, u: None if p is None else (p + u).astype(p.dtype),
+                state["trainable"],
+                updates,
+                is_leaf=lambda x: x is None,
+            )
+            new_state = {
+                "trainable": trainable,
+                "frozen": state["frozen"],
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            metrics = {
+                "loss": loss,
+                "acc": acc,
+                "lr": sched(state["step"]),
+                "grad_norm": optax.global_norm(grads),
+            }
+            return new_state, metrics
+
+        def eval_step(state: TrainState, batch):
+            params = merge_params(state["trainable"], state["frozen"])
+            out = model.apply({"params": params}, batch, deterministic=True)
+            return {"loss": out["loss"], "acc": out["acc"]}
+
+        bs = batch_sharding(self.mesh)
+        self.train_step = jax.jit(
+            train_step,
+            donate_argnums=(0,),
+            in_shardings=(None, bs, None),
+        )
+        self.eval_step = jax.jit(eval_step, in_shardings=(None, bs))
+
+    def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host batch -> device, sharded along (dp, fsdp)."""
+        bs = batch_sharding(self.mesh)
+        return {
+            k: jax.device_put(v, bs)
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+
+
+def build_trainer(model, slam_cfg, train_config, mesh) -> Trainer:
+    tx, sched = make_optimizer(train_config)
+    t = Trainer(
+        model=model, slam_cfg=slam_cfg, train_config=train_config, mesh=mesh,
+        tx=tx, sched=sched,
+    )
+    t.build_steps(use_dropout=(train_config.use_peft and train_config.peft_config.lora_dropout > 0))
+    return t

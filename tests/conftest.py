@@ -7,12 +7,20 @@ path is exercised in CI without TPU hardware.
 
 import os
 
+# NOTE: this image's sitecustomize imports jax at interpreter startup (axon
+# TPU plugin registration), so setting JAX_PLATFORMS in os.environ here is
+# too late — mutate jax.config instead (backends are not yet initialized).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# the axon TPU plugin in this image ignores JAX_PLATFORMS; PLATFORM_NAME works
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import sys
 from pathlib import Path
