@@ -131,6 +131,9 @@ class DataConfig:
     input_type: str = "mel"  # raw | mel
     mel_size: int = 80
     normalize: bool = False
+    # whisper pads/trims to 30 s (reference speech_dataset.py:101); shorter
+    # caps cut host+device work for short-utterance corpora
+    max_audio_length_s: float = 30.0
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

@@ -63,6 +63,9 @@ class SpeechDatasetJsonl:
         self.normalize = getattr(dataset_config, "normalize", False)
         self.input_type = getattr(dataset_config, "input_type", "mel")
         assert self.input_type in ("raw", "mel")
+        self.max_audio_samples = int(
+            getattr(dataset_config, "max_audio_length_s", 30.0) * audio_ops.SAMPLE_RATE
+        )
 
         path = (
             dataset_config.train_data_path if split == "train" else dataset_config.val_data_path
@@ -93,7 +96,7 @@ class SpeechDatasetJsonl:
             # (reference speech_dataset.py:98-100)
             audio_length = len(audio_raw) // 320 // 5
         else:
-            audio_raw = audio_ops.pad_or_trim(audio_raw)
+            audio_raw = audio_ops.pad_or_trim(audio_raw, self.max_audio_samples)
             audio_mel = audio_ops.log_mel_spectrogram(audio_raw, n_mels=self.mel_size)
             # (T+1)//2 whisper conv downsample, then //5 projector stack
             # (reference speech_dataset.py:104-105)

@@ -170,7 +170,9 @@ class SLAMModel(nn.Module):
         return self.llm.decode_step(embeds, cache, cache_index, attention_mask, positions)
 
     def init_all(self, batch: Dict[str, jnp.ndarray]):
-        return self(batch)
+        """Init entry point touching every param; works with or without labels."""
+        inputs_embeds, attention_mask = self.forward_embeds(batch)
+        return self.llm(inputs_embeds, attention_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -235,8 +237,8 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         encoder=enc_cfg,
         projector=mc.encoder_projector,
         projector_cfg=proj_cfg,
-        freeze_encoder=tc.freeze_encoder or mc.encoder_name is not None,
-        freeze_llm=not tc.use_peft,
+        freeze_encoder=tc.freeze_encoder,
+        freeze_llm=tc.freeze_llm,
         modal=mc.modal,
     )
 

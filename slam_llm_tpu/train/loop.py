@@ -1,0 +1,126 @@
+"""The epoch/step training loop.
+
+Mirrors the reference ``train()`` (utils/train_utils.py:46-394): epoch loop,
+mid-epoch validation every ``validation_interval`` steps, best-val-loss-gated
+checkpointing named ``{model_name}_epoch_{e}_step_{s}``, per-epoch memory/time
+report. Differences by construction:
+
+  * no GradScaler/autocast — bf16 on TPU needs no loss scaling;
+  * no all_reduce of metrics — the jitted step computes global loss/acc
+    (the batch is sharded over the mesh, XLA reduces);
+  * no Join/monitored_barrier uneven-input machinery — every host sees the
+    same number of fixed-shape steps by construction (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from slam_llm_tpu.train.state import Trainer, TrainState
+from slam_llm_tpu.utils.checkpoint import save_state, save_trainable
+from slam_llm_tpu.utils.logging_utils import MemoryTrace, MetricsLogger
+
+
+def evaluate(trainer: Trainer, state: TrainState, eval_loader) -> Dict[str, float]:
+    """Mirrors reference evaluation() (utils/train_utils.py:396-469)."""
+    losses, accs, weights = [], [], []
+    with trainer.mesh:
+        for batch in eval_loader:
+            m = trainer.eval_step(state, trainer.put_batch(batch))
+            losses.append(float(m["loss"]))
+            accs.append(float(m["acc"]))
+            weights.append(len(batch["input_ids"]))
+    if not losses:
+        return {"loss": float("inf"), "acc": 0.0, "ppl": float("inf")}
+    w = np.asarray(weights, np.float64)
+    loss = float(np.average(losses, weights=w))
+    acc = float(np.average(accs, weights=w))
+    return {"loss": loss, "acc": acc, "ppl": float(np.exp(min(loss, 50.0)))}
+
+
+def train(
+    trainer: Trainer,
+    state: TrainState,
+    train_loader,
+    eval_loader=None,
+    train_config=None,
+    log_config=None,
+    tokenizer=None,
+) -> Dict[str, Any]:
+    tc = train_config or trainer.train_config
+    logger = MetricsLogger(log_config, tc) if log_config is not None else MetricsLogger(
+        type("L", (), {"use_wandb": False, "log_file": None})()
+    )
+    rng = jax.random.PRNGKey(tc.seed)
+    best_val_loss = float("inf")
+    results: Dict[str, Any] = {"epoch_times": [], "checkpoints": []}
+    step = int(state["step"])
+    log_interval = getattr(tc, "log_interval", 5)
+
+    for epoch in range(tc.num_epochs):
+        with MemoryTrace() as mem:
+            t_epoch = time.perf_counter()
+            if hasattr(train_loader, "sampler") and hasattr(train_loader.sampler, "set_epoch"):
+                train_loader.sampler.set_epoch(epoch)
+            step_times = []
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                t0 = time.perf_counter()
+                with trainer.mesh:
+                    state, metrics = trainer.train_step(state, trainer.put_batch(batch), sub)
+                step += 1
+                if step % log_interval == 0:
+                    # blocks on device only when we actually log
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    step_times.append(time.perf_counter() - t0)
+                    logger.log(metrics, step)
+
+                if (
+                    tc.run_validation
+                    and eval_loader is not None
+                    and step % tc.validation_interval == 0
+                ):
+                    val = evaluate(trainer, state, eval_loader)
+                    logger.log(val, step, prefix="valid")
+                    if val["loss"] < best_val_loss and tc.save_model:
+                        best_val_loss = val["loss"]
+                        ckpt = _save_checkpoint(trainer, state, tc, epoch, step)
+                        results["checkpoints"].append(ckpt)
+                        logger.logger.info("new best val loss %.4f -> saved %s", val["loss"], ckpt)
+                if 0 < tc.max_steps_per_epoch <= step:
+                    break
+            results["epoch_times"].append(time.perf_counter() - t_epoch)
+            logger.logger.info("epoch %d done: %s", epoch, mem.stats())
+
+    # end-of-training validation + final save
+    if tc.run_validation and eval_loader is not None:
+        val = evaluate(trainer, state, eval_loader)
+        logger.log(val, step, prefix="valid")
+        results["final_val"] = val
+        if tc.save_model and (val["loss"] < best_val_loss or not results["checkpoints"]):
+            ckpt = _save_checkpoint(trainer, state, tc, tc.num_epochs - 1, step)
+            results["checkpoints"].append(ckpt)
+    elif tc.save_model:
+        ckpt = _save_checkpoint(trainer, state, tc, tc.num_epochs - 1, step)
+        results["checkpoints"].append(ckpt)
+    results["best_val_loss"] = best_val_loss
+    results["state"] = state
+    return results
+
+
+def _save_checkpoint(trainer: Trainer, state: TrainState, tc, epoch: int, step: int) -> str:
+    """Dispatch mirroring reference train_utils.py:177-272: trainable-only by
+    default; full sharded state (incl. optimizer) when save_optimizer."""
+    name = f"{tc.model_name}_epoch_{epoch + 1}_step_{step}"
+    out = Path(tc.output_dir) / name
+    os.makedirs(out, exist_ok=True)
+    save_trainable(str(out / "model.msgpack"), state["trainable"])
+    if tc.save_optimizer:
+        save_state(str(out / "full_state"), {k: state[k] for k in ("trainable", "opt_state", "step")})
+    return str(out)

@@ -69,6 +69,19 @@ class Trainer:
             "step": jnp.zeros((), jnp.int32),
         }
 
+    def state_from_params(self, params: Any) -> TrainState:
+        """Build a TrainState from already-materialized (sharded) params —
+        the resume / pretrained-weights path."""
+        with self.mesh:
+            trainable, frozen = partition_params(params, self.slam_cfg)
+            opt_state = jax.jit(self.tx.init)(trainable)
+        return {
+            "trainable": trainable,
+            "frozen": frozen,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+
     def build_steps(self, use_dropout: bool = False) -> None:
         model, tx, sched = self.model, self.tx, self.sched
 

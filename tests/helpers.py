@@ -25,10 +25,14 @@ def write_wav(path, seconds: float = 0.5, freq: float = 440.0, sr: int = 16000, 
 def make_corpus(tmp_path: Path, n: int = 8, targets=None) -> Path:
     """Write n wavs + jsonl manifest; returns manifest path."""
     targets = targets or [f"hello world {i}" for i in range(n)]
+    # class-separable audio: each distinct target gets a far-apart tone so
+    # even a small mel frontend can discriminate them
+    class_freq = {t: 350.0 * (3 ** j) for j, t in enumerate(dict.fromkeys(targets))}
     manifest = tmp_path / "train.jsonl"
     with open(manifest, "w") as f:
         for i in range(n):
-            wav = write_wav(tmp_path / f"utt{i}.wav", seconds=0.3 + 0.1 * (i % 3), freq=200 + 50 * i, seed=i)
+            target = targets[i % len(targets)]
+            wav = write_wav(tmp_path / f"utt{i}.wav", seconds=0.5 + 0.1 * (i % 3), freq=class_freq[target], seed=i)
             f.write(
                 json.dumps({"key": f"utt{i}", "source": str(wav), "target": targets[i % len(targets)]})
                 + "\n"
