@@ -164,40 +164,63 @@ def mha_attention(
     k: jnp.ndarray,  # (B, Tk, Hkv, D)
     v: jnp.ndarray,  # (B, Tk, Hkv, D)
     bias: Optional[jnp.ndarray] = None,  # (B, 1|H, Tq, Tk) additive, fp32
+    kv_mask: Optional[jnp.ndarray] = None,  # (B, Tk) structured key validity
+    causal: bool = False,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Multi-head attention with GQA. XLA path everywhere; Pallas flash kernel
-    on TPU when shapes qualify (see ops/kernels/flash_attention.py).
+    """Multi-head attention with GQA.
+
+    Masking comes either as a dense additive ``bias`` (XLA path only — e.g.
+    WavLM's gated relative position bias) or structured as
+    ``kv_mask``/``causal`` — the structured form lowers to the Pallas flash
+    kernel on TPU (ops/kernels/flash_attention.py), XLA elsewhere.
     """
+    hkv = k.shape[2]
+    groups = q.shape[2] // hkv
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
     if use_pallas is None:
-        use_pallas = _should_use_pallas(q)
+        use_pallas = bias is None and _should_use_pallas(q, k)
     if use_pallas:
         from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, bias=bias)
-    return _xla_attention(q, k, v, bias)
+        mask = (
+            kv_mask.astype(jnp.int32)
+            if kv_mask is not None
+            else jnp.ones(k.shape[:2], jnp.int32)
+        )
+        return flash_attention(q, k, v, mask, causal)
+    return _xla_attention(q, k, v, bias, kv_mask, causal)
 
 
-def _should_use_pallas(q: jnp.ndarray) -> bool:
+def _should_use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     try:
         platform = q.devices().pop().platform if hasattr(q, "devices") else jax.default_backend()
     except Exception:
         platform = jax.default_backend()
     if platform != "tpu":
         return False
-    # flash kernel wants reasonably long sequences and 128-aligned head_dim
-    return q.shape[1] >= 256 and q.shape[-1] % 128 == 0
+    # measured crossover on v5e: the flash kernel beats XLA's fused attention
+    # once the KV length is ~1k+ (encoder shapes: 1500-frame whisper, packed
+    # 4096-token LLM); below that XLA wins on dispatch overhead
+    return q.shape[1] >= 128 and k.shape[1] >= 1024 and q.shape[-1] % 64 == 0
 
 
-def _xla_attention(q, k, v, bias):
+def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
     b, tq, h, d = q.shape
-    hkv = k.shape[2]
-    groups = h // hkv
+    tk = k.shape[1]
     qf = q.astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
-    if groups > 1:
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    if bias is None and (kv_mask is not None or causal):
+        mask = (
+            kv_mask.astype(bool)[:, None, None, :]
+            if kv_mask is not None
+            else jnp.ones((b, 1, 1, tk), bool)
+        )
+        if causal:
+            mask = mask & jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)[None, None]
+        bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1)

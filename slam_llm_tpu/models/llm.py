@@ -132,6 +132,7 @@ class Attention(nn.Module):
         cache_v: Optional[jnp.ndarray] = None,
         cache_index: Optional[jnp.ndarray] = None,  # scalar int32: write offset
         deterministic: bool = True,
+        kv_mask: Optional[jnp.ndarray] = None,  # (B, T) structured mask (train)
     ):
         c = self.cfg
         b, t, _ = x.shape
@@ -155,7 +156,12 @@ class Attention(nn.Module):
             k, v = cache_k, cache_v
             new_cache = (cache_k, cache_v)
 
-        out = mha_attention(q, k.astype(q.dtype), v.astype(q.dtype), bias=bias)
+        # no-cache training path carries a structured (kv_mask, causal) mask
+        # that lowers to the Pallas flash kernel on TPU
+        out = mha_attention(
+            q, k.astype(q.dtype), v.astype(q.dtype),
+            bias=bias, kv_mask=kv_mask, causal=bias is None,
+        )
         out = out.reshape(b, t, c.n_heads * c.head_dim)
         out = self._dense("o_proj", c.d_model)(out, deterministic)
         return out, new_cache
@@ -193,11 +199,12 @@ class DecoderLayer(nn.Module):
     def __call__(
         self, x, bias, positions,
         cache_k=None, cache_v=None, cache_index=None, deterministic: bool = True,
+        kv_mask=None,
     ):
         c = self.cfg
         h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="input_norm")(x)
         attn_out, new_cache = Attention(c, name="attn")(
-            h, bias, positions, cache_k, cache_v, cache_index, deterministic
+            h, bias, positions, cache_k, cache_v, cache_index, deterministic, kv_mask
         )
         x = x + attn_out
         h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="post_attn_norm")(x)
@@ -223,6 +230,7 @@ class _ScannedDecoder(nn.Module):
         cache: Optional[KVCache] = None,
         cache_index=None,
         deterministic: bool = True,
+        kv_mask=None,
     ):
         c = self.cfg
         layer_cls = DecoderLayer
@@ -235,10 +243,10 @@ class _ScannedDecoder(nn.Module):
             )
 
         def body(block, carry, layer_cache):
-            x, bias, positions, cache_index = carry
+            x, bias, positions, cache_index, kv_mask = carry
             ck, cv = (None, None) if layer_cache is None else layer_cache
-            y, new_cache = block(x, bias, positions, ck, cv, cache_index, deterministic)
-            return (y, bias, positions, cache_index), new_cache
+            y, new_cache = block(x, bias, positions, ck, cv, cache_index, deterministic, kv_mask)
+            return (y, bias, positions, cache_index, kv_mask), new_cache
 
         scan = nn.scan(
             body,
@@ -250,7 +258,9 @@ class _ScannedDecoder(nn.Module):
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
         xs = None if cache is None else (cache["k"], cache["v"])
-        (x, _, _, _), stacked = scan(layer_cls(c, name="layers"), (x, bias, positions, cache_index), xs)
+        (x, _, _, _, _), stacked = scan(
+            layer_cls(c, name="layers"), (x, bias, positions, cache_index, kv_mask), xs
+        )
         new_cache = None if stacked is None else {"k": stacked[0], "v": stacked[1]}
         return x, new_cache
 
@@ -316,9 +326,9 @@ class CausalLM(nn.Module):
     ) -> jnp.ndarray:
         if positions is None:
             positions = _positions_from_mask(attention_mask)
-        bias = make_causal_bias(attention_mask)
+        # structured (kv_mask, causal) masking — Pallas flash path on TPU
         x = inputs_embeds.astype(self.cfg.dtype)
-        x, _ = self.decoder(x, bias, positions, None, None, deterministic)
+        x, _ = self.decoder(x, None, positions, None, None, deterministic, attention_mask)
         x = self.final_norm(x)
         return self._head(x)
 

@@ -94,7 +94,7 @@ class WhisperAttention(nn.Module):
     cfg: WhisperEncoderConfig
 
     @nn.compact
-    def __call__(self, x, bias):
+    def __call__(self, x, kv_mask):
         c = self.cfg
         head_dim = c.d_model // c.n_heads
         b, t, _ = x.shape
@@ -112,7 +112,7 @@ class WhisperAttention(nn.Module):
         q = q.reshape(b, t, c.n_heads, head_dim)
         k = k.reshape(b, t, c.n_heads, head_dim)
         v = v.reshape(b, t, c.n_heads, head_dim)
-        out = mha_attention(q, k, v, bias=bias)
+        out = mha_attention(q, k, v, kv_mask=kv_mask)
         out = out.reshape(b, t, c.d_model)
         return DenseGeneralLora(
             features=c.d_model, use_bias=True, dtype=c.dtype,
@@ -124,10 +124,10 @@ class WhisperBlock(nn.Module):
     cfg: WhisperEncoderConfig
 
     @nn.compact
-    def __call__(self, x, bias):
+    def __call__(self, x, kv_mask):
         c = self.cfg
         h = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="attn_ln")(x)
-        x = x + WhisperAttention(c, name="attn")(h, bias)
+        x = x + WhisperAttention(c, name="attn")(h, kv_mask)
         h = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="mlp_ln")(x)
         h = DenseGeneralLora(
             features=4 * c.d_model, use_bias=True, dtype=c.dtype,
@@ -181,9 +181,9 @@ class WhisperEncoder(nn.Module):
             # reference datasets/speech_dataset.py:104)
             out_mask = mel_mask[:, ::2][:, :t_out].astype(jnp.int32)
 
-        bias = None
+        kv_mask = None
         if c.mask_padding and mel_mask is not None:
-            bias = make_padding_bias(out_mask, q_len=t_out)
+            kv_mask = out_mask
 
         block_cls = WhisperBlock
         if c.remat:
@@ -191,8 +191,8 @@ class WhisperEncoder(nn.Module):
 
         if c.scan_layers:
             def body(block, carry):
-                x, bias = carry
-                return (block(x, bias), bias), None
+                x, kv_mask = carry
+                return (block(x, kv_mask), kv_mask), None
 
             scan = nn.scan(
                 body,
@@ -201,10 +201,10 @@ class WhisperEncoder(nn.Module):
                 length=c.n_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            (x, _), _ = scan(block_cls(c, name="layers"), (x, bias))
+            (x, _), _ = scan(block_cls(c, name="layers"), (x, kv_mask))
         else:
             for i in range(c.n_layers):
-                x = block_cls(c, name=f"layers_{i}")(x, bias)
+                x = block_cls(c, name=f"layers_{i}")(x, kv_mask)
 
         x = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="ln_post")(x)
         return x, out_mask

@@ -1,0 +1,100 @@
+"""Pallas flash attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_llm_tpu.models.layers import _xla_attention
+from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
+
+
+def _rand(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("tq,tk", [(128, 128), (256, 256), (200, 200)])
+def test_flash_matches_xla(causal, tq, tk):
+    b, h, d = 2, 4, 64
+    q = _rand((b, tq, h, d), 0)
+    k = _rand((b, tk, h, d), 1)
+    v = _rand((b, tk, h, d), 2)
+    kv_mask = np.ones((b, tk), np.int32)
+    kv_mask[1, tk - 37 :] = 0
+    kv_mask = jnp.asarray(kv_mask)
+
+    ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
+    got = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, True)
+    valid_q = np.ones((b, tq), bool)
+    if causal:
+        pass  # all query rows have at least themselves (kv row may be masked)
+    # rows whose keys are all masked produce garbage in both impls; compare
+    # only rows with >=1 valid key
+    np.testing.assert_allclose(
+        np.asarray(got)[valid_q], np.asarray(ref)[valid_q], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_flash_left_padding():
+    """Left-padded keys (training collator layout) must match XLA."""
+    b, t, h, d = 2, 128, 2, 64
+    q = _rand((b, t, h, d), 3)
+    k = _rand((b, t, h, d), 4)
+    v = _rand((b, t, h, d), 5)
+    kv_mask = np.ones((b, t), np.int32)
+    kv_mask[0, :29] = 0  # left padding
+    kv_mask = jnp.asarray(kv_mask)
+    ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=True)
+    got = flash_attention(q, k, v, kv_mask, True, None, 128, 128, True)
+    rows = np.asarray(kv_mask).astype(bool)  # compare only valid query rows
+    np.testing.assert_allclose(
+        np.asarray(got)[rows], np.asarray(ref)[rows], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_flash_gradients_match():
+    b, t, h, d = 1, 128, 2, 64
+    q = _rand((b, t, h, d), 6)
+    k = _rand((b, t, h, d), 7)
+    v = _rand((b, t, h, d), 8)
+    kv_mask = jnp.ones((b, t), jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_mask, True, None, 128, 128, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, None, kv_mask=kv_mask, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+
+def test_llm_uses_structured_path_consistently():
+    """Full CausalLM forward is identical with pallas disabled (CPU XLA) —
+    guards the structured-mask refactor against the old dense-bias semantics."""
+    from slam_llm_tpu.models.llm import CausalLM, LLMConfig
+    from slam_llm_tpu.models.layers import make_causal_bias
+
+    cfg = LLMConfig.tiny_test()
+    model = CausalLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 250, (2, 16)))
+    mask = np.ones((2, 16), np.int32)
+    mask[0, :5] = 0  # left pad
+    mask = jnp.asarray(mask)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, method="init_all")
+    embeds = model.apply(params, ids, method="embed")
+    logits = model.apply(params, embeds, mask)
+    # reference computation with explicit dense bias through prefill path
+    from slam_llm_tpu.models.llm import init_kv_cache
+
+    cache = init_kv_cache(cfg, 2, 16)
+    logits_dense, _ = model.apply(params, embeds, mask, cache, method="prefill")
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(logits)[valid], np.asarray(logits_dense)[valid], atol=2e-4, rtol=1e-3
+    )
