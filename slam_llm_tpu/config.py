@@ -134,6 +134,14 @@ class DataConfig:
     # whisper pads/trims to 30 s (reference speech_dataset.py:101); shorter
     # caps cut host+device work for short-utterance corpora
     max_audio_length_s: float = 30.0
+    # fbank datasets (audio_dataset.py — EAT/BEATs AAC recipes):
+    encoder_name: str = "eat"
+    fbank_mean: float = -4.268
+    fbank_std: float = 4.569
+    target_length: int = 1024
+    fixed_length: bool = True
+    random_crop: bool = False
+    encoder_projector_ds_rate: int = 5
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

@@ -107,6 +107,14 @@ class SLAMModel(nn.Module):
             from slam_llm_tpu.models.wavlm import WavLMEncoder
 
             self.encoder = WavLMEncoder(c.encoder, name="encoder")
+        elif c.encoder_name == "beats":
+            from slam_llm_tpu.models.beats import BEATsEncoder
+
+            self.encoder = BEATsEncoder(c.encoder, name="encoder")
+        elif c.encoder_name in ("eat", "spatial_ast"):
+            from slam_llm_tpu.models.vit import ViTEncoder
+
+            self.encoder = ViTEncoder(c.encoder, name="encoder")
         elif c.encoder_name is None:
             self.encoder = None
         else:
@@ -118,7 +126,7 @@ class SLAMModel(nn.Module):
         """Modality dispatch (reference models/slam_model.py:316-351) ->
         projected encoder states + post-encoder validity mask."""
         c = self.cfg
-        if c.encoder_name == "whisper":
+        if c.encoder_name in ("whisper", "beats", "eat", "spatial_ast"):
             enc, enc_mask = self.encoder(batch["audio_mel"], batch.get("audio_mel_mask"))
         elif c.encoder_name in ("wavlm", "hubert"):
             enc, enc_mask = self.encoder(batch["audio"], batch.get("audio_mask"))
@@ -194,6 +202,14 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
 
         preset = mc.encoder_config or "wavlm-base"
         enc_cfg = WAVLM_PRESETS[preset]()
+    elif mc.encoder_name == "beats":
+        from slam_llm_tpu.models.beats import BEATS_PRESETS
+
+        enc_cfg = BEATS_PRESETS[mc.encoder_config or "beats-iter3"]()
+    elif mc.encoder_name in ("eat", "spatial_ast"):
+        from slam_llm_tpu.models.vit import VIT_PRESETS
+
+        enc_cfg = VIT_PRESETS[mc.encoder_config or "eat-base"]()
     encoder_dim = enc_cfg.d_model if enc_cfg is not None else mc.encoder_dim
 
     # llm

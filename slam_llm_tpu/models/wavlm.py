@@ -49,6 +49,8 @@ class WavLMConfig:
     num_buckets: int = 320
     max_distance: int = 800
     rel_bias: bool = True  # False -> HuBERT
+    deep_norm: bool = False  # BEATs: residual * (2L)^(1/4) before post-LN
+    gate_from_query: bool = False  # BEATs gates rel-pos bias from q, WavLM from x
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -218,9 +220,10 @@ class WavLMSelfAttention(nn.Module):
 
         bias = key_mask_bias  # (B,1,T,T) fp32 or None
         if position_bias is not None:
-            # gate from query hidden states: (B,T,H,hd) -> linear(hd->8) ->
-            # (...,2,4).sum(-1) -> sigmoid -> gate_a/gate_b (B,H,T,1)
-            gate_in = x.reshape(b, t, h, hd)
+            # gate input: WavLM gates from the hidden states, BEATs from the
+            # projected (unscaled) query (reference BEATs/backbone.py:651-655)
+            # -> linear(hd->8) -> (...,2,4).sum(-1) -> sigmoid -> gate_a/gate_b
+            gate_in = q if c.gate_from_query else x.reshape(b, t, h, hd)
             proj = DenseGeneralLora(
                 features=8, use_bias=True, dtype=c.dtype, param_dtype=c.param_dtype,
                 kernel_axes=(None, None), name="gru_rel_pos_linear",
@@ -270,9 +273,10 @@ class WavLMLayer(nn.Module):
         if c.do_stable_layer_norm:  # pre-LN (large)
             x = x + attn(ln("layer_norm")(x), key_mask_bias, position_bias)
             x = x + ffn(ln("final_layer_norm")(x))
-        else:  # post-LN (base)
-            x = ln("layer_norm")(x + attn(x, key_mask_bias, position_bias))
-            x = ln("final_layer_norm")(x + ffn(x))
+        else:  # post-LN (base); deep_norm scales the residual (BEATs)
+            alpha = (2.0 * c.n_layers) ** 0.25 if c.deep_norm else 1.0
+            x = ln("layer_norm")(x * alpha + attn(x, key_mask_bias, position_bias))
+            x = ln("final_layer_norm")(x * alpha + ffn(x))
         return x
 
 

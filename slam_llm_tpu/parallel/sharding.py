@@ -40,6 +40,8 @@ LOGICAL_AXIS_RULES = (
     ("lora", None),
     ("conv_in", None),
     ("conv_kernel", None),
+    ("conv_kernel_t", None),
+    ("conv_kernel_f", None),
     ("q_len", None),
     ("time", None),
 )

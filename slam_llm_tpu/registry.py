@@ -56,10 +56,16 @@ def get_custom_model_factory(model_config) -> Callable[..., Any]:
 
 
 def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
-    """Mirror of reference utils/dataset_utils.py:28-46."""
+    """Mirror of reference utils/dataset_utils.py:28-46, plus by-name lookup
+    of the in-tree datasets (dataset_config.dataset)."""
     spec: Optional[str] = getattr(dataset_config, "file", None)
-    if not spec:
-        from slam_llm_tpu.data.speech_dataset import get_speech_dataset
+    if spec:
+        return resolve_factory(spec, default_name="get_speech_dataset")
+    name = getattr(dataset_config, "dataset", "speech_dataset")
+    if name == "audio_dataset":
+        from slam_llm_tpu.data.audio_dataset import get_audio_dataset
 
-        return get_speech_dataset
-    return resolve_factory(spec, default_name="get_speech_dataset")
+        return get_audio_dataset
+    from slam_llm_tpu.data.speech_dataset import get_speech_dataset
+
+    return get_speech_dataset
