@@ -142,6 +142,12 @@ class DataConfig:
     fixed_length: bool = True
     random_crop: bool = False
     encoder_projector_ds_rate: int = 5
+    # s2s datasets (s2s_dataset.py — SLAM-Omni):
+    task_type: str = "s2s"
+    code_layer: int = 3
+    text_vocabsize: int = -1  # -1: from tokenizer
+    audio_vocabsize: int = 4096
+    num_latency_tokens: int = 0
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

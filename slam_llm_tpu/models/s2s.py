@@ -1,0 +1,453 @@
+"""S2S (SLAM-Omni) — speech-to-speech dialogue with parallel text+audio heads.
+
+TPU-native re-design of the reference's ``examples/s2s/model/slam_model_s2s.py``:
+
+  * the LLM vocab is extended to ``padded_text + code_layer * padded_audio``
+    (VocabConfig, reference s2s_config.py:29-45); audio token ids for
+    codebook layer i live at offset ``padded_text + i * padded_audio``
+    (``layershift``, reference utils/snac_utils.py:21);
+  * inputs come as ``code_layer + 1`` parallel token streams; the embedding
+    is the MEAN over streams, with encoder features spliced into the audio
+    streams' placeholder span (reference slam_model_s2s.py:224-241);
+  * one trunk forward; logits split into a text head and ``code_layer``
+    audio heads (optionally via a linear group-decode adapter projecting one
+    audio slot -> code_layer vocabs, reference utils/projector_utils.py:6-16);
+  * loss = mean of text CE + per-layer audio CE (compute_parallel_loss,
+    reference :286-309);
+  * generation is ONE jitted ``lax.while_loop``: each step samples a text
+    token + code_layer audio tokens with separate repetition penalties,
+    mean-embeds them for the next step, and tracks text/audio EOS separately
+    (reference :312-453 rebuilt without the python loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from slam_llm_tpu.models.llm import CausalLM, LLMConfig, init_kv_cache
+from slam_llm_tpu.models.projector import ProjectorConfig, build_projector
+from slam_llm_tpu.models.slam_model import (
+    IGNORE_INDEX,
+    splice_modality,
+)
+from slam_llm_tpu.models.whisper import WhisperEncoder, WhisperEncoderConfig
+
+
+@dataclass(frozen=True)
+class VocabConfig:
+    """Mirrors reference s2s_config.py VocabConfig (derived fields included)."""
+
+    text_vocabsize: int = 151936
+    text_specialtokens: int = 64
+    audio_vocabsize: int = 4096
+    audio_specialtokens: int = 64
+    code_layer: int = 7
+
+    @property
+    def padded_text_vocabsize(self) -> int:
+        return self.text_vocabsize + self.text_specialtokens
+
+    @property
+    def padded_audio_vocabsize(self) -> int:
+        return self.audio_vocabsize + self.audio_specialtokens
+
+    @property
+    def total_audio_vocabsize(self) -> int:
+        return self.padded_audio_vocabsize * self.code_layer
+
+    @property
+    def total_vocabsize(self) -> int:
+        return self.padded_text_vocabsize + self.total_audio_vocabsize
+
+    # special text tokens
+    @property
+    def eot(self):
+        return self.text_vocabsize
+
+    @property
+    def pad_t(self):
+        return self.text_vocabsize + 1
+
+    @property
+    def input_t(self):
+        return self.text_vocabsize + 2
+
+    @property
+    def answer_t(self):
+        return self.text_vocabsize + 3
+
+    @property
+    def asr(self):
+        return self.text_vocabsize + 4
+
+    # special audio tokens (pre-layershift)
+    @property
+    def eoa(self):
+        return self.audio_vocabsize
+
+    @property
+    def pad_a(self):
+        return self.audio_vocabsize + 1
+
+    @property
+    def input_a(self):
+        return self.audio_vocabsize + 2
+
+    @property
+    def answer_a(self):
+        return self.audio_vocabsize + 3
+
+    @property
+    def split(self):
+        return self.audio_vocabsize + 4
+
+    def layershift(self, audio_token, layer: int):
+        """audio-codebook token -> global vocab id for codebook ``layer``."""
+        return audio_token + self.padded_text_vocabsize + layer * self.padded_audio_vocabsize
+
+    @staticmethod
+    def tiny_test() -> "VocabConfig":
+        return VocabConfig(
+            text_vocabsize=64, text_specialtokens=8,
+            audio_vocabsize=32, audio_specialtokens=8, code_layer=3,
+        )
+
+
+@dataclass(frozen=True)
+class S2SConfig:
+    llm: LLMConfig = field(default_factory=LLMConfig.tiny_test)
+    vocab: VocabConfig = field(default_factory=VocabConfig)
+    encoder_name: Optional[str] = "whisper"
+    encoder: Any = None
+    projector: str = "linear"
+    projector_cfg: ProjectorConfig = field(default_factory=ProjectorConfig)
+    group_decode: bool = False  # one audio slot -> code_layer vocabs
+    freeze_encoder: bool = True
+    freeze_llm: bool = False
+    task_type: str = "s2s"  # s2s | asr | tts
+
+
+class GroupDecodeAdapter(nn.Module):
+    """Linear projecting the head's single audio slot to code_layer vocabs
+    (reference utils/projector_utils.py:6-16)."""
+
+    audio_slot: int
+    code_layer: int
+    vocab_per_layer: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from slam_llm_tpu.models.layers import DenseGeneralLora
+
+        return DenseGeneralLora(
+            features=self.code_layer * self.vocab_per_layer, use_bias=True,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_axes=("vocab", "vocab"), name="linear",
+        )(x)
+
+
+class S2SModel(nn.Module):
+    cfg: S2SConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.encoder_name == "whisper":
+            self.encoder = WhisperEncoder(c.encoder, name="encoder")
+        elif c.encoder_name is None:
+            self.encoder = None
+        else:
+            raise ValueError(f"s2s encoder {c.encoder_name} not supported yet")
+        self.encoder_projector = build_projector(c.projector, c.projector_cfg)
+        # LLM vocab: with group decode the head covers text + ONE audio slot
+        v = c.vocab
+        head_vocab = (
+            v.padded_text_vocabsize + v.padded_audio_vocabsize
+            if c.group_decode
+            else v.total_vocabsize
+        )
+        # embeddings always cover the full (layershifted) vocab
+        llm_cfg = dataclasses.replace(c.llm, vocab_size=max(v.total_vocabsize, head_vocab))
+        self.llm = CausalLM(llm_cfg, name="llm")
+        if c.group_decode:
+            self.group_decode_adapter = GroupDecodeAdapter(
+                audio_slot=v.padded_audio_vocabsize,
+                code_layer=v.code_layer,
+                vocab_per_layer=v.padded_audio_vocabsize,
+                dtype=c.llm.dtype,
+                param_dtype=c.llm.param_dtype,
+                name="group_decode_adapter",
+            )
+        else:
+            self.group_decode_adapter = None
+
+    # ---- embedding of (code_layer + 1) parallel streams ------------------
+
+    def embed_streams(
+        self, input_ids: jnp.ndarray, encoder_outs: Optional[jnp.ndarray],
+        modality_mask: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """input_ids (B, code_layer+1, T) -> mean-pooled embeds (B, T, D) with
+        encoder features spliced into each audio stream's placeholder span."""
+        c = self.cfg
+        ids = jnp.maximum(input_ids, 0)
+        embeds = self.llm.embed(ids)  # (B, L+1, T, D)
+        if encoder_outs is not None and modality_mask is not None:
+            def splice_one(stream_embeds):  # (B, T, D)
+                return splice_modality(stream_embeds, encoder_outs, modality_mask)
+
+            audio_streams = jax.vmap(splice_one, in_axes=1, out_axes=1)(
+                embeds[:, : c.vocab.code_layer]
+            )
+            embeds = jnp.concatenate([audio_streams, embeds[:, c.vocab.code_layer :]], axis=1)
+        return jnp.mean(embeds, axis=1)  # (B, T, D)
+
+    def encode(self, batch: Dict[str, jnp.ndarray]):
+        c = self.cfg
+        if self.encoder is None:
+            return batch.get("audio_mel"), batch.get("audio_mel_mask")
+        return self.encoder(batch["audio_mel"], batch.get("audio_mel_mask"))
+
+    def forward_embeds(self, batch: Dict[str, jnp.ndarray]):
+        encoder_outs = None
+        if batch.get("audio_mel") is not None:
+            encoder_outs, enc_mask = self.encode(batch)
+            if self.cfg.projector == "q-former":
+                encoder_outs = self.encoder_projector(encoder_outs, enc_mask)
+            else:
+                encoder_outs = self.encoder_projector(encoder_outs)
+        embeds = self.embed_streams(
+            batch["input_ids"], encoder_outs, batch.get("modality_mask")
+        )
+        return embeds, batch["attention_mask"]
+
+    def split_logits(self, logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """trunk logits -> (text_logits, audio_logits (L, ..., Va))."""
+        v = self.cfg.vocab
+        xt = logits[..., : v.padded_text_vocabsize]
+        rest = logits[..., v.padded_text_vocabsize :]
+        if self.group_decode_adapter is not None:
+            rest = self.group_decode_adapter(
+                rest[..., : v.padded_audio_vocabsize].astype(self.cfg.llm.dtype)
+            ).astype(logits.dtype)
+        xa = jnp.stack(
+            [
+                rest[..., i * v.padded_audio_vocabsize : (i + 1) * v.padded_audio_vocabsize]
+                for i in range(v.code_layer)
+            ],
+            axis=0,
+        )
+        return xt, xa
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True):
+        c = self.cfg
+        v = c.vocab
+        embeds, attention_mask = self.forward_embeds(batch)
+        logits = self.llm(embeds, attention_mask, deterministic=deterministic)
+        xt, xa = self.split_logits(logits)
+
+        labels = batch["labels"]  # (B, L+1, T)
+        text_labels = labels[:, v.code_layer]
+        audio_labels = labels[:, : v.code_layer]
+
+        def ce(lg, lb):
+            mask = (lb[:, 1:] != IGNORE_INDEX).astype(jnp.float32)
+            safe = jnp.maximum(lb[:, 1:], 0)
+            logp = jax.nn.log_softmax(lg[:, :-1], axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            loss = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+            acc = (
+                ((jnp.argmax(lg[:, :-1], -1) == safe).astype(jnp.float32) * mask).sum()
+                / jnp.maximum(mask.sum(), 1.0)
+            )
+            return loss, acc
+
+        text_loss, text_acc = ce(xt, text_labels)
+        audio_losses, audio_accs = [], []
+        for i in range(v.code_layer):
+            al, aa = ce(xa[i], audio_labels[:, i])
+            audio_losses.append(al)
+            audio_accs.append(aa)
+        if c.task_type == "asr":
+            loss = text_loss
+        else:
+            loss = (text_loss + sum(audio_losses)) / (v.code_layer + 1)
+        return {
+            "loss": loss,
+            "acc": text_acc,
+            "text_loss": text_loss,
+            "audio_loss": jnp.stack(audio_losses) if audio_losses else jnp.zeros(()),
+            "audio_acc": jnp.stack(audio_accs) if audio_accs else jnp.zeros(()),
+            "logits": logits,
+        }
+
+    def init_all(self, batch: Dict[str, jnp.ndarray]):
+        embeds, attention_mask = self.forward_embeds(batch)
+        logits = self.llm(embeds, attention_mask)
+        return self.split_logits(logits)
+
+    # ---- decode entry points ----------------------------------------------
+
+    def prefill(self, batch: Dict[str, jnp.ndarray], cache):
+        embeds, attention_mask = self.forward_embeds(batch)
+        return self.llm.prefill(embeds, attention_mask, cache)
+
+    def decode_step(self, stream_tokens, cache, cache_index, attention_mask, positions):
+        """stream_tokens (B, code_layer+1) ALREADY layershifted -> next logits."""
+        embeds = jnp.mean(self.llm.embed(jnp.maximum(stream_tokens, 0)), axis=1)  # (B, D)
+        return self.llm.decode_step(
+            embeds[:, None, :], cache, cache_index, attention_mask, positions
+        )
+
+
+# ---------------------------------------------------------------------------
+# Jitted parallel generation
+# ---------------------------------------------------------------------------
+
+
+class S2SGenerator:
+    """Parallel text+audio greedy/sampling decode as one lax.while_loop."""
+
+    def __init__(self, model: S2SModel, max_new_tokens: int = 360,
+                 do_sample: bool = False, temperature: float = 1.0, top_k: int = 0,
+                 text_repetition_penalty: float = 1.0,
+                 audio_repetition_penalty: float = 1.0,
+                 num_latency_tokens: int = 0, decode_text_only: bool = False):
+        self.model = model
+        self.max_new_tokens = max_new_tokens
+        self.do_sample = do_sample
+        self.temperature = temperature
+        self.top_k = top_k
+        self.text_rp = text_repetition_penalty
+        self.audio_rp = audio_repetition_penalty
+        self.num_latency_tokens = num_latency_tokens
+        self.decode_text_only = decode_text_only
+        self._jit = jax.jit(self._generate, static_argnames=("max_new",))
+
+    def _penalize(self, logits, counts, penalty):
+        if penalty == 1.0:
+            return logits
+        appeared = counts > 0
+        pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+        return jnp.where(appeared, pen, logits)
+
+    def _pick(self, logits, rng):
+        if self.do_sample:
+            lg = logits / jnp.maximum(self.temperature, 1e-6)
+            if self.top_k > 0:
+                kth = jnp.sort(lg, axis=-1)[..., -self.top_k][..., None]
+                lg = jnp.where(lg < kth, -1e9, lg)
+            return jax.random.categorical(rng, lg, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    def _generate(self, params, batch, rng, max_new: int):
+        model = self.model
+        v = model.cfg.vocab
+        L = v.code_layer
+        b, _, t = batch["input_ids"].shape
+        max_len = t + max_new
+        llm_cfg = dataclasses.replace(
+            model.cfg.llm, vocab_size=v.total_vocabsize
+        )
+        cache = init_kv_cache(llm_cfg, b, max_len)
+        logits, cache = model.apply(params, batch, cache, method="prefill")
+        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
+        next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+        prompt_len = last_idx + 1
+
+        out_tokens = jnp.full((b, L + 1, max_new), v.pad_a, jnp.int32)
+        out_tokens = out_tokens.at[:, L, :].set(v.pad_t)
+        text_end = jnp.zeros((b,), bool)
+        audio_end = jnp.zeros((b,), bool)
+        text_counts = jnp.zeros((b, v.padded_text_vocabsize), jnp.int32)
+        audio_counts = jnp.zeros((b, L, v.padded_audio_vocabsize), jnp.int32)
+
+        def cond(state):
+            i = state[0]
+            text_end, audio_end = state[4], state[5]
+            return (i < max_new) & ~jnp.all(text_end & audio_end)
+
+        def body(state):
+            (i, next_logits, cache, out_tokens, text_end, audio_end,
+             text_counts, audio_counts, rng) = state
+            rng, r_t, r_a = jax.random.split(rng, 3)
+
+            xt, xa = model.apply(params, next_logits, method="split_logits")
+            xt = self._penalize(xt, text_counts, self.text_rp)
+            tok_t = self._pick(xt, r_t).astype(jnp.int32)
+            tok_t = jnp.where(text_end, v.pad_t, tok_t)
+
+            toks_a = []
+            for l in range(L):
+                lg = self._penalize(xa[l], audio_counts[:, l], self.audio_rp)
+                tk = self._pick(lg, jax.random.fold_in(r_a, l)).astype(jnp.int32)
+                skip = audio_end | (i < self.num_latency_tokens) | self.decode_text_only
+                toks_a.append(jnp.where(skip, v.pad_a, tk))
+            tok_a = jnp.stack(toks_a, axis=1)  # (B, L)
+
+            text_end = text_end | (tok_t == v.eot)
+            audio_end = audio_end | jnp.any(tok_a == v.eoa, axis=1) | self.decode_text_only
+
+            out_tokens = out_tokens.at[:, L, i].set(tok_t)
+            out_tokens = jax.lax.dynamic_update_slice(
+                out_tokens, tok_a[:, :, None], (0, 0, i)
+            )
+            text_counts = text_counts.at[jnp.arange(b), tok_t].add(1)
+            for l in range(L):
+                audio_counts = audio_counts.at[jnp.arange(b), l, tok_a[:, l]].add(1)
+
+            # next-step embedding: layershifted audio + text streams
+            shifted = jnp.stack(
+                [v.layershift(tok_a[:, l], l) for l in range(L)] + [tok_t], axis=1
+            )  # (B, L+1)
+            pos = (prompt_len + i)[:, None]
+            cache_index = t + i
+            gen_valid = (jnp.arange(max_len)[None, :] >= t) & (
+                jnp.arange(max_len)[None, :] <= t + i
+            )
+            prompt_valid = jnp.pad(
+                batch["attention_mask"].astype(bool), ((0, 0), (0, max_len - t))
+            )
+            step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
+            logits, cache = model.apply(
+                params, shifted, cache, jnp.int32(cache_index), step_mask, pos,
+                method="decode_step",
+            )
+            return (i + 1, logits[:, 0], cache, out_tokens, text_end, audio_end,
+                    text_counts, audio_counts, rng)
+
+        state = (0, next_logits, cache, out_tokens, text_end, audio_end,
+                 text_counts, audio_counts, rng)
+        state = jax.lax.while_loop(cond, body, state)
+        return state[3]  # (B, L+1, max_new)
+
+    def generate(self, params, batch, rng=None, max_new_tokens=None) -> np.ndarray:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch = {
+            k: v for k, v in batch.items()
+            if k in ("input_ids", "attention_mask", "modality_mask", "audio_mel", "audio_mel_mask")
+        }
+        out = self._jit(params, batch, rng, max_new=max_new_tokens or self.max_new_tokens)
+        return np.asarray(out)
+
+
+def trim_generated(tokens: np.ndarray, vocab: VocabConfig) -> List[np.ndarray]:
+    """Host-side: cut text at EOT and audio streams at the last layer's EOA
+    (reference slam_model_s2s.py:439-448). tokens: (L+1, T) one sample."""
+    L = vocab.code_layer
+    text = tokens[L]
+    eot_pos = np.where(text == vocab.eot)[0]
+    text_out = text[: eot_pos[0]] if eot_pos.size else text
+    last = tokens[L - 1]
+    eoa_pos = np.where(last == vocab.eoa)[0]
+    end = eoa_pos[0] if eoa_pos.size else tokens.shape[1]
+    return [tokens[i][:end] for i in range(L)] + [text_out]

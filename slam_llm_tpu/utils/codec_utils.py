@@ -1,0 +1,98 @@
+"""Codec token utilities for S2S (SNAC / CosyVoice streams).
+
+Host-side mirrors of the reference's codec glue
+(``examples/s2s/utils/{snac_utils,codec_utils}.py``):
+
+  * SNAC "flat-8" manifests (8 tokens per frame: '#'-slot + 7 codebook
+    tokens) -> the staggered (7, T) parallel-generation layout with
+    per-layer delay padding (``snac_answer_token_layout``);
+  * generated staggered streams -> SNAC's hierarchical [1, 2, 4]-codebook
+    tensors ready for a vocoder (``snac_streams_to_codebooks``);
+  * a ``CodecDecoder`` protocol: the actual SNAC / CosyVoice vocoder weights
+    are external (torch) models; plug one in via ``decode_fn`` — everything
+    up to the waveform is handled here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SnacConfig:
+    audio_vocab_size: int = 4096
+    end_of_audio: int = 4096
+    padding_token: int = 4097
+    code_layer: int = 7
+
+
+def snac_answer_token_layout(flat_tokens: Sequence[int], cfg: SnacConfig = SnacConfig()):
+    """Flat SNAC stream (8 tokens/frame, slot 0 is the '#' marker) -> the
+    staggered (7, T) layout used as parallel-generation targets
+    (reference snac_utils.get_snac_answer_token): layer j is delayed by j
+    frames of padding, terminated with EOA, tail-padded to equal length."""
+    toks = list(flat_tokens)
+    n_frames = len(toks) // 8
+    audio_length = n_frames + 8
+    layers = []
+    for layer in range(1, 8):
+        row = [cfg.padding_token] * layer
+        row += [int(toks[i]) for i in range(len(toks)) if i % 8 == layer]
+        row.append(cfg.end_of_audio)
+        if layer < 7:
+            row += [cfg.padding_token] * (7 - layer)
+        layers.append(row)
+    return np.asarray(layers, np.int64), audio_length
+
+
+def snac_streams_to_codebooks(streams: np.ndarray, cfg: SnacConfig = SnacConfig()):
+    """Generated staggered streams (7, T) -> SNAC codebook tensors
+    [(1, t), (1, 2t), (1, 4t)] (reference snac_utils.reconscruct_snac +
+    reconstruct_tensors). Un-staggers layer j by dropping its j+1 leading
+    slots, then regroups frame-wise [c0 | c1 c4 | c2 c3 c5 c6]."""
+    rows = [streams[j][j + 1 :] for j in range(7)]
+    t = min(len(r) for r in rows)
+    rows = [np.asarray(r[:t]) % (cfg.audio_vocab_size + 64) for r in rows]
+    cb0 = rows[0][None, :]
+    cb1 = np.empty((1, 2 * t), np.int64)
+    cb1[0, 0::2] = rows[1]
+    cb1[0, 1::2] = rows[4]
+    cb2 = np.empty((1, 4 * t), np.int64)
+    cb2[0, 0::4] = rows[2]
+    cb2[0, 1::4] = rows[3]
+    cb2[0, 2::4] = rows[5]
+    cb2[0, 3::4] = rows[6]
+    return [cb0, cb1, cb2]
+
+
+def cosyvoice_group_to_stream(streams: np.ndarray) -> np.ndarray:
+    """Grouped parallel streams (L, T) -> flat codec token stream (T*L,)
+    (inverse of data/s2s_dataset.group_answer_tokens)."""
+    return np.asarray(streams).T.reshape(-1)
+
+
+@dataclass
+class CodecDecoder:
+    """Pluggable vocoder: ``decode_fn(codebooks) -> waveform float32``.
+
+    The reference instantiates SNAC / CosyVoice torch models
+    (examples/s2s/utils/codec_utils.py:8-24); those checkpoints are external.
+    Framework code only depends on this interface.
+    """
+
+    codec_type: str = "snac"  # snac | cosyvoice
+    decode_fn: Optional[Callable] = None
+    sample_rate: int = 24000
+
+    def decode(self, streams: np.ndarray) -> np.ndarray:
+        if self.decode_fn is None:
+            raise RuntimeError(
+                "no vocoder attached: construct CodecDecoder(decode_fn=...) "
+                "with a SNAC/CosyVoice decode callable"
+            )
+        if self.codec_type == "snac":
+            return np.asarray(self.decode_fn(snac_streams_to_codebooks(streams)))
+        return np.asarray(self.decode_fn(cosyvoice_group_to_stream(streams)))
