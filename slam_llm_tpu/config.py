@@ -98,6 +98,7 @@ class TrainConfig:
     validation_interval: int = 1000
     lr: float = 1e-4
     weight_decay: float = 0.0
+    optimizer: str = "adamw"  # adamw | anyprecision (bf16 moments + Kahan)
     gamma: float = 0.85  # per-epoch lr decay (reference LambdaLR semantics)
     seed: int = 42
     val_batch_size: int = 1

@@ -69,6 +69,18 @@ def main(cfg: RunConfig):
     trainer = build_trainer(model, model.cfg, tc, mesh)
     state = trainer.state_from_params(params)
 
+    if tc.resume_from:
+        from slam_llm_tpu.utils.checkpoint import restore_state
+
+        full = tc.resume_from
+        if not full.endswith("full_state"):
+            full = f"{full}/full_state"
+        logger.info("resuming full state (params+optimizer+step) from %s", full)
+        restored = restore_state(
+            full, {k: state[k] for k in ("trainable", "opt_state", "step")}
+        )
+        state.update(restored)
+
     from slam_llm_tpu.train.optimizer import count_params
 
     logger.info(

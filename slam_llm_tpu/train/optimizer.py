@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -85,17 +86,93 @@ def lr_schedule(train_config) -> Callable:
     )
 
 
+def anyprecision_adamw(
+    learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+    momentum_dtype=jnp.bfloat16, variance_dtype=jnp.bfloat16, use_kahan: bool = True,
+) -> optax.GradientTransformation:
+    """Pure-bf16 AdamW with optional Kahan compensated summation — the TPU
+    equivalent of the reference's AnyPrecisionAdamW
+    (policies/anyprecision_optimizer.py:16-178): optimizer moments in bf16
+    (half the optimizer HBM), parameter updates compensated so bf16 moments
+    do not lose small updates."""
+    def init(params):
+        def zeros_like(d):
+            return jax.tree_util.tree_map(
+                lambda p: None if p is None else jnp.zeros_like(p, dtype=d or p.dtype),
+                params, is_leaf=lambda x: x is None,
+            )
+
+        state = {
+            "mu": zeros_like(momentum_dtype),
+            "nu": zeros_like(variance_dtype),
+            "count": jnp.zeros((), jnp.int32),
+        }
+        if use_kahan:
+            state["compensation"] = zeros_like(None)
+        return state
+
+    def update(grads, state, params):
+        count = state["count"] + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def upd(g, mu, nu, p, comp):
+            if g is None:
+                return None, None, None, None
+            g32 = g.astype(jnp.float32)
+            mu32 = mu.astype(jnp.float32) * b1 + (1 - b1) * g32
+            nu32 = nu.astype(jnp.float32) * b2 + (1 - b2) * g32 * g32
+            mu_hat = mu32 / (1 - b1 ** count.astype(jnp.float32))
+            nu_hat = nu32 / (1 - b2 ** count.astype(jnp.float32))
+            step = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + weight_decay * p.astype(jnp.float32))
+            if use_kahan:
+                # Kahan: accumulate the part of the update lost to rounding
+                y = step.astype(p.dtype) + comp
+                new_p_val = p + y
+                comp = (y - (new_p_val - p)).astype(p.dtype)
+                delta = (new_p_val - p).astype(p.dtype)
+            else:
+                comp = None
+                delta = step.astype(p.dtype)
+            return delta, mu32.astype(momentum_dtype), nu32.astype(variance_dtype), comp
+
+        is_none = lambda x: x is None  # noqa: E731
+        comp_tree = state.get("compensation", jax.tree_util.tree_map(lambda x: None, grads, is_leaf=is_none))
+        flat = jax.tree_util.tree_map(
+            upd, grads, state["mu"], state["nu"], params, comp_tree, is_leaf=is_none
+        )
+        updates = jax.tree_util.tree_map(lambda t: None if t is None else t[0], flat,
+                                         is_leaf=lambda x: x is None or isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda t: None if t is None else t[1], flat,
+                                    is_leaf=lambda x: x is None or isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda t: None if t is None else t[2], flat,
+                                    is_leaf=lambda x: x is None or isinstance(x, tuple))
+        new_state = {"mu": mu, "nu": nu, "count": count}
+        if use_kahan:
+            new_state["compensation"] = jax.tree_util.tree_map(
+                lambda t: None if t is None else t[3], flat,
+                is_leaf=lambda x: x is None or isinstance(x, tuple),
+            )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(train_config) -> Tuple[optax.GradientTransformation, Callable]:
     """AdamW (+global-norm clip) over the trainable subtree, with in-graph
-    gradient accumulation via MultiSteps when configured."""
+    gradient accumulation via MultiSteps when configured. ``optimizer:
+    anyprecision`` selects the bf16-state Kahan AdamW (reference
+    AnyPrecisionAdamW parity)."""
     tc = train_config
     sched = lr_schedule(tc)
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(
+    if getattr(tc, "optimizer", "adamw") == "anyprecision":
+        inner = anyprecision_adamw(
             learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay
-        ),
-    )
+        )
+    else:
+        inner = optax.adamw(
+            learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay
+        )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     if tc.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=tc.gradient_accumulation_steps)
     return tx, sched

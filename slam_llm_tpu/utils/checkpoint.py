@@ -46,9 +46,9 @@ def restore_state(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _to_savable(state):
-    """Orbax dislikes None holes: replace with sentinel empty arrays."""
+    """Orbax rejects None leaves and zero-size arrays: use a 1-byte sentinel."""
     return jax.tree_util.tree_map(
-        lambda x: np.zeros((0,), np.int8) if x is None else x,
+        lambda x: np.zeros((1,), np.int8) if x is None else x,
         state,
         is_leaf=lambda x: x is None,
     )
