@@ -103,7 +103,7 @@ class SLAMModel(nn.Module):
         c = self.cfg
         if c.encoder_name == "whisper":
             self.encoder = WhisperEncoder(c.encoder, name="encoder")
-        elif c.encoder_name in ("wavlm", "hubert"):
+        elif c.encoder_name in ("wavlm", "hubert", "emotion2vec"):
             from slam_llm_tpu.models.wavlm import WavLMEncoder
 
             self.encoder = WavLMEncoder(c.encoder, name="encoder")
@@ -111,6 +111,10 @@ class SLAMModel(nn.Module):
             from slam_llm_tpu.models.beats import BEATsEncoder
 
             self.encoder = BEATsEncoder(c.encoder, name="encoder")
+        elif c.encoder_name == "musicfm":
+            from slam_llm_tpu.models.musicfm import MusicFMEncoder
+
+            self.encoder = MusicFMEncoder(c.encoder, name="encoder")
         elif c.encoder_name in ("eat", "spatial_ast"):
             from slam_llm_tpu.models.vit import ViTEncoder
 
@@ -126,9 +130,9 @@ class SLAMModel(nn.Module):
         """Modality dispatch (reference models/slam_model.py:316-351) ->
         projected encoder states + post-encoder validity mask."""
         c = self.cfg
-        if c.encoder_name in ("whisper", "beats", "eat", "spatial_ast"):
+        if c.encoder_name in ("whisper", "beats", "eat", "spatial_ast", "musicfm"):
             enc, enc_mask = self.encoder(batch["audio_mel"], batch.get("audio_mel_mask"))
-        elif c.encoder_name in ("wavlm", "hubert"):
+        elif c.encoder_name in ("wavlm", "hubert", "emotion2vec"):
             enc, enc_mask = self.encoder(batch["audio"], batch.get("audio_mask"))
         else:
             enc = batch.get("audio_mel", batch.get("audio"))
@@ -197,11 +201,17 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
     if mc.encoder_name == "whisper":
         preset = mc.encoder_config or "whisper-tiny"
         enc_cfg = WHISPER_PRESETS[preset]()
-    elif mc.encoder_name in ("wavlm", "hubert"):
+    elif mc.encoder_name in ("wavlm", "hubert", "emotion2vec"):
         from slam_llm_tpu.models.wavlm import WAVLM_PRESETS
 
-        preset = mc.encoder_config or "wavlm-base"
+        preset = mc.encoder_config or (
+            "emotion2vec-base" if mc.encoder_name == "emotion2vec" else "wavlm-base"
+        )
         enc_cfg = WAVLM_PRESETS[preset]()
+    elif mc.encoder_name == "musicfm":
+        from slam_llm_tpu.models.musicfm import MUSICFM_PRESETS
+
+        enc_cfg = MUSICFM_PRESETS[mc.encoder_config or "musicfm-msd"]()
     elif mc.encoder_name == "beats":
         from slam_llm_tpu.models.beats import BEATS_PRESETS
 

@@ -87,6 +87,16 @@ class WavLMConfig:
         )
 
     @staticmethod
+    def emotion2vec_base() -> "WavLMConfig":
+        """data2vec2-audio architecture (emotion2vec checkpoints): conv
+        frontend + pre-LN transformer, no relative bias (reference
+        models/encoder.py:185-195 wraps it via funasr)."""
+        return WavLMConfig(
+            d_model=768, n_heads=12, n_layers=12, ffn_dim=3072,
+            feat_extract_norm="layer", do_stable_layer_norm=True, rel_bias=False,
+        )
+
+    @staticmethod
     def tiny_test(rel_bias: bool = True) -> "WavLMConfig":
         return WavLMConfig(
             d_model=32, n_heads=2, n_layers=2, ffn_dim=64,
@@ -102,6 +112,7 @@ WAVLM_PRESETS = {
     "hubert-base": WavLMConfig.hubert_base,
     "hubert-large": WavLMConfig.hubert_large,
     "hubert-xlarge": WavLMConfig.hubert_xlarge,
+    "emotion2vec-base": WavLMConfig.emotion2vec_base,
     "wavlm-tiny-test": WavLMConfig.tiny_test,
 }
 

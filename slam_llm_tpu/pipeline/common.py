@@ -27,6 +27,25 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host init (replaces torch dist.init_process_group, reference
+    utils/train_utils.py:484-486): when the standard JAX cluster env vars are
+    present, join the cluster so the mesh spans all hosts."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ["COORDINATOR_ADDRESS"]
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("WORLD_SIZE", 1))),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", os.environ.get("RANK", 0))),
+        )
+        logger.info(
+            "joined jax cluster: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+
+
 def build_model_and_data(cfg: RunConfig, split: str = "train"):
     """Resolve factories (file: indirection), build model + tokenizer +
     dataset. Mirrors reference finetune.py:148-206."""

@@ -38,6 +38,9 @@ def main(cfg: RunConfig):
 
         pdb.set_trace()
     set_seed(cfg.train_config.seed)
+    from slam_llm_tpu.pipeline.common import maybe_init_distributed
+
+    maybe_init_distributed()
     logger.info("devices: %s", jax.devices())
 
     model, tokenizer, train_ds = build_model_and_data(cfg, split=cfg.dataset_config.train_split)

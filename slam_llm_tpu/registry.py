@@ -66,6 +66,18 @@ def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
         from slam_llm_tpu.data.audio_dataset import get_audio_dataset
 
         return get_audio_dataset
+    if name == "mir_dataset":
+        from slam_llm_tpu.data.mir_dataset import get_mir_dataset
+
+        return get_mir_dataset
+    if name == "s2s_dataset":
+        from slam_llm_tpu.data.s2s_dataset import get_s2s_dataset
+
+        return get_s2s_dataset
+    if name == "speech_dataset_large":
+        from slam_llm_tpu.data.speech_dataset_large import get_speech_dataset_large
+
+        return get_speech_dataset_large
     from slam_llm_tpu.data.speech_dataset import get_speech_dataset
 
     return get_speech_dataset
