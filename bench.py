@@ -44,7 +44,8 @@ def main():
 
     trainer = build_trainer(model, cfg, tc, mesh)
     # LibriSpeech-shaped batch: 30 s mel (3000 frames), ~460 total tokens
-    b = 8 * n_chips
+    # (b=16/chip measured best on v5e: +5% over b=8, flat beyond)
+    b = 16 * n_chips
     batch = _example_batch(b=b, t_mel=3000, t_text=448, n_mels=80, audio_len=300)
     state = trainer.create_state(jax.random.PRNGKey(0), batch)
     rng = jax.random.PRNGKey(1)

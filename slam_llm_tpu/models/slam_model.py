@@ -115,6 +115,10 @@ class SLAMModel(nn.Module):
             from slam_llm_tpu.models.musicfm import MusicFMEncoder
 
             self.encoder = MusicFMEncoder(c.encoder, name="encoder")
+        elif c.encoder_name == "av_hubert":
+            from slam_llm_tpu.models.avhubert import AVHubertEncoder
+
+            self.encoder = AVHubertEncoder(c.encoder, name="encoder")
         elif c.encoder_name in ("eat", "spatial_ast"):
             from slam_llm_tpu.models.vit import ViTEncoder
 
@@ -134,6 +138,10 @@ class SLAMModel(nn.Module):
             enc, enc_mask = self.encoder(batch["audio_mel"], batch.get("audio_mel_mask"))
         elif c.encoder_name in ("wavlm", "hubert", "emotion2vec"):
             enc, enc_mask = self.encoder(batch["audio"], batch.get("audio_mask"))
+        elif c.encoder_name == "av_hubert":
+            enc, enc_mask = self.encoder(
+                batch.get("visual"), batch.get("audio_feats"), batch.get("visual_mask")
+            )
         else:
             enc = batch.get("audio_mel", batch.get("audio"))
             enc_mask = batch.get("audio_mel_mask")
@@ -212,6 +220,10 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         from slam_llm_tpu.models.musicfm import MUSICFM_PRESETS
 
         enc_cfg = MUSICFM_PRESETS[mc.encoder_config or "musicfm-msd"]()
+    elif mc.encoder_name == "av_hubert":
+        from slam_llm_tpu.models.avhubert import AVHUBERT_PRESETS
+
+        enc_cfg = AVHUBERT_PRESETS[mc.encoder_config or "avhubert-large"]()
     elif mc.encoder_name == "beats":
         from slam_llm_tpu.models.beats import BEATS_PRESETS
 
