@@ -35,11 +35,18 @@ def main(cfg: RunConfig):
     set_seed(cfg.train_config.seed)
     cfg.dataset_config.inference_mode = True
 
+    from slam_llm_tpu.pipeline.common import maybe_init_distributed
+
+    maybe_init_distributed()
     model, tokenizer, dataset = build_model_and_data(cfg, split=cfg.dataset_config.test_split)
     mesh = build_mesh(cfg)
+    # multi-host decode (reference pipeline/inference_batch_deepspeed.py):
+    # each host decodes a rank-strided shard and writes rank-suffixed logs
+    n_proc, rank = jax.process_count(), jax.process_index()
     loader = build_dataloader(
         dataset, cfg.train_config.val_batch_size, shuffle=False, drop_last=False,
         num_workers=cfg.dataset_config.num_workers, prefetch=cfg.dataset_config.prefetch,
+        num_replicas=n_proc, rank=rank,
     )
     example = next(iter(loader))
     params, _ = materialize_params(model, cfg, mesh, example)
@@ -60,8 +67,9 @@ def main(cfg: RunConfig):
     )
     generator = Generator(model, gen_cfg)
 
-    pred_path = dc.decode_log + "_pred"
-    gt_path = dc.decode_log + "_gt"
+    suffix = f"_rank{rank}" if n_proc > 1 else ""
+    pred_path = dc.decode_log + "_pred" + suffix
+    gt_path = dc.decode_log + "_gt" + suffix
     n, t_total, audio_s = 0, 0.0, 0.0
     with open(pred_path, "w", encoding="utf-8") as f_pred, open(
         gt_path, "w", encoding="utf-8"

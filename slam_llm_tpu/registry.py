@@ -74,6 +74,14 @@ def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
         from slam_llm_tpu.data.s2s_dataset import get_s2s_dataset
 
         return get_s2s_dataset
+    if name == "text_dataset":
+        from slam_llm_tpu.data.text_dataset import get_text_dataset
+
+        return get_text_dataset
+    if name == "vallex_dataset":
+        from slam_llm_tpu.data.vallex_dataset import get_vallex_dataset
+
+        return get_vallex_dataset
     if name == "speech_dataset_large":
         from slam_llm_tpu.data.speech_dataset_large import get_speech_dataset_large
 
