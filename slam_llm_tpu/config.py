@@ -149,6 +149,7 @@ class DataConfig:
     text_vocabsize: int = -1  # -1: from tokenizer
     audio_vocabsize: int = 4096
     num_latency_tokens: int = 0
+    specaug: bool = False
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

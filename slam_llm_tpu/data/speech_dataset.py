@@ -66,6 +66,8 @@ class SpeechDatasetJsonl:
         self.max_audio_samples = int(
             getattr(dataset_config, "max_audio_length_s", 30.0) * audio_ops.SAMPLE_RATE
         )
+        self.specaug = bool(getattr(dataset_config, "specaug", False)) and split == "train"
+        self._specaug_rng = np.random.default_rng(1234)
 
         path = (
             dataset_config.train_data_path if split == "train" else dataset_config.val_data_path
@@ -98,6 +100,10 @@ class SpeechDatasetJsonl:
         else:
             audio_raw = audio_ops.pad_or_trim(audio_raw, self.max_audio_samples)
             audio_mel = audio_ops.log_mel_spectrogram(audio_raw, n_mels=self.mel_size)
+            if self.specaug:
+                from slam_llm_tpu.ops.specaug import spec_augment
+
+                audio_mel = spec_augment(audio_mel, rng=self._specaug_rng)
             # (T+1)//2 whisper conv downsample, then //5 projector stack
             # (reference speech_dataset.py:104-105)
             audio_length = (audio_mel.shape[0] + 1) // 2 // 5

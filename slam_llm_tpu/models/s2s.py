@@ -349,32 +349,44 @@ class S2SGenerator:
             return jax.random.categorical(rng, lg, axis=-1)
         return jnp.argmax(logits, axis=-1)
 
-    def _generate(self, params, batch, rng, max_new: int):
+    def _init_state(self, params, batch, rng, max_new: int):
+        """Prefill -> device-resident decode state (shared by generate and
+        stream_generate chunks)."""
         model = self.model
         v = model.cfg.vocab
         L = v.code_layer
         b, _, t = batch["input_ids"].shape
         max_len = t + max_new
-        llm_cfg = dataclasses.replace(
-            model.cfg.llm, vocab_size=v.total_vocabsize
-        )
+        llm_cfg = dataclasses.replace(model.cfg.llm, vocab_size=v.total_vocabsize)
         cache = init_kv_cache(llm_cfg, b, max_len)
         logits, cache = model.apply(params, batch, cache, method="prefill")
         last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
         next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
-        prompt_len = last_idx + 1
 
         out_tokens = jnp.full((b, L + 1, max_new), v.pad_a, jnp.int32)
         out_tokens = out_tokens.at[:, L, :].set(v.pad_t)
-        text_end = jnp.zeros((b,), bool)
-        audio_end = jnp.zeros((b,), bool)
-        text_counts = jnp.zeros((b, v.padded_text_vocabsize), jnp.int32)
-        audio_counts = jnp.zeros((b, L, v.padded_audio_vocabsize), jnp.int32)
+        return (
+            0, next_logits, cache, out_tokens,
+            jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+            jnp.zeros((b, v.padded_text_vocabsize), jnp.int32),
+            jnp.zeros((b, L, v.padded_audio_vocabsize), jnp.int32),
+            rng,
+        )
+
+    def _run_until(self, params, state, batch, limit, max_new: int):
+        """Advance the decode state until step ``limit`` (or all streams done)."""
+        model = self.model
+        v = model.cfg.vocab
+        L = v.code_layer
+        b, _, t = batch["input_ids"].shape
+        max_len = t + max_new
+        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
+        prompt_len = last_idx + 1
 
         def cond(state):
             i = state[0]
             text_end, audio_end = state[4], state[5]
-            return (i < max_new) & ~jnp.all(text_end & audio_end)
+            return (i < limit) & ~jnp.all(text_end & audio_end)
 
         def body(state):
             (i, next_logits, cache, out_tokens, text_end, audio_end,
@@ -425,9 +437,11 @@ class S2SGenerator:
             return (i + 1, logits[:, 0], cache, out_tokens, text_end, audio_end,
                     text_counts, audio_counts, rng)
 
-        state = (0, next_logits, cache, out_tokens, text_end, audio_end,
-                 text_counts, audio_counts, rng)
-        state = jax.lax.while_loop(cond, body, state)
+        return jax.lax.while_loop(cond, body, state)
+
+    def _generate(self, params, batch, rng, max_new: int):
+        state = self._init_state(params, batch, rng, max_new)
+        state = self._run_until(params, state, batch, max_new, max_new)
         return state[3]  # (B, L+1, max_new)
 
     def generate(self, params, batch, rng=None, max_new_tokens=None) -> np.ndarray:
@@ -438,6 +452,47 @@ class S2SGenerator:
         }
         out = self._jit(params, batch, rng, max_new=max_new_tokens or self.max_new_tokens)
         return np.asarray(out)
+
+    # ---- streaming: yield token chunks as they decode ----------------------
+
+    def stream_generate(self, params, batch, rng=None, stream_stride: int = 24,
+                        max_new_tokens=None, codec_decoder=None):
+        """Generator yielding per-chunk dicts
+        ``{"audio_tokens": (B, L, n), "text_tokens": (B, n), "audio": wav?}``
+        every ``stream_stride`` steps (reference slam_model_s2s.stream_generate
+        :456-634 — SNAC decode every stream_stride). The decode state (KV
+        cache, penalties, EOS flags) stays on device between yields; one
+        jitted chunk advances ``stream_stride`` steps."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        max_new = max_new_tokens or self.max_new_tokens
+        v = self.model.cfg.vocab
+        L = v.code_layer
+        batch = {
+            k: x for k, x in batch.items()
+            if k in ("input_ids", "attention_mask", "modality_mask", "audio_mel", "audio_mel_mask")
+        }
+        init = jax.jit(self._init_state, static_argnames=("max_new",))
+        chunk = jax.jit(self._run_until, static_argnames=("max_new",))
+        state = init(params, batch, rng, max_new=max_new)
+        start = 0
+        while start < max_new:
+            n = min(stream_stride, max_new - start)
+            state = chunk(params, state, batch, jnp.int32(start + n), max_new=max_new)
+            out = np.asarray(state[3])
+            payload = {
+                "audio_tokens": out[:, :L, start : start + n],
+                "text_tokens": out[:, L, start : start + n],
+            }
+            if codec_decoder is not None:
+                try:
+                    payload["audio"] = codec_decoder.decode(payload["audio_tokens"][0])
+                except Exception:
+                    payload["audio"] = None
+            yield payload
+            start += n
+            text_end, audio_end = np.asarray(state[4]), np.asarray(state[5])
+            if bool(np.all(text_end & audio_end)):
+                break
 
 
 def trim_generated(tokens: np.ndarray, vocab: VocabConfig) -> List[np.ndarray]:

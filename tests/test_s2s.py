@@ -207,3 +207,30 @@ def test_snac_layout_roundtrip():
     np.testing.assert_array_equal(cbs[0][0, :4], [100, 101, 102, 103])
     np.testing.assert_array_equal(cbs[1][0, 0::2][:4], [200, 201, 202, 203])  # layer 1
     np.testing.assert_array_equal(cbs[1][0, 1::2][:4], [500, 501, 502, 503])  # layer 4
+
+
+def test_stream_generate_matches_batch(s2s_model):
+    """Chunked streaming must produce exactly the same tokens as one-shot
+    generation (greedy), with early stop on EOT+EOA."""
+    cfg, model, params, batch, ds = s2s_model
+    v = cfg.vocab
+    gen = S2SGenerator(model, max_new_tokens=8)
+    inf_batch = {k: x for k, x in batch.items() if k != "labels"}
+    full = gen.generate(params, inf_batch, max_new_tokens=8)
+    chunks = list(gen.stream_generate(params, inf_batch, stream_stride=3, max_new_tokens=8))
+    audio = np.concatenate([c["audio_tokens"] for c in chunks], axis=2)
+    text = np.concatenate([c["text_tokens"] for c in chunks], axis=1)
+    n = audio.shape[2]
+    np.testing.assert_array_equal(audio, full[:, : v.code_layer, :n])
+    np.testing.assert_array_equal(text, full[:, v.code_layer, :n])
+
+
+def test_specaug_masks():
+    from slam_llm_tpu.ops.specaug import spec_augment
+
+    mel = np.ones((100, 80), np.float32) * 5.0
+    rng = np.random.default_rng(0)
+    out = spec_augment(mel, mask_value=0.0, rng=rng)
+    assert out.shape == mel.shape
+    assert (out == 0.0).any()  # something masked
+    assert (out == 5.0).any()  # not everything
