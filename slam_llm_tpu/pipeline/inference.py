@@ -26,8 +26,9 @@ from slam_llm_tpu.pipeline.common import (
 def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config):
     """Build a batch of 1 with the dataset's exact token-assembly semantics."""
     mel_size = getattr(dataset_config, "mel_size", 80)
+    max_samples = int(getattr(dataset_config, "max_audio_length_s", 30.0) * audio_ops.SAMPLE_RATE)
     audio_raw = audio_ops.load_audio(wav_path)
-    audio_raw = audio_ops.pad_or_trim(audio_raw)
+    audio_raw = audio_ops.pad_or_trim(audio_raw, max_samples)
     mel = audio_ops.log_mel_spectrogram(audio_raw, n_mels=mel_size)
     audio_length = (mel.shape[0] + 1) // 2 // 5
     prompt_ids = tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
@@ -50,7 +51,12 @@ def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config):
 def main(cfg: RunConfig):
     logger = setup_logger()
     cfg.dataset_config.inference_mode = True
-    model, tokenizer, _ = build_model_and_data(cfg, split=cfg.dataset_config.test_split)
+    # no dataset in interactive mode: resolve the model factory directly
+    from slam_llm_tpu.registry import get_custom_model_factory
+
+    model, tokenizer = get_custom_model_factory(cfg.model_config)(
+        cfg.train_config, cfg.model_config
+    )
     mesh = build_mesh(cfg)
 
     dc = cfg.decode_config
