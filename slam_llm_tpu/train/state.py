@@ -44,6 +44,32 @@ class Trainer:
     train_step: Callable = None
     eval_step: Callable = None
 
+    def _opt_shardings(self, trainable: Any) -> Any:
+        """Shardings for tx.init outputs: optimizer moments mirror the param
+        tree inside optax states, so match each opt-state leaf to the param
+        whose tree path it embeds; scalars (counts) replicate. Without this,
+        jit(tx.init) commits all moments to ONE device."""
+        param_shardings = {
+            "/" + "/".join(str(getattr(k, "key", k)) for k in p): x.sharding
+            for p, x in jax.tree_util.tree_leaves_with_path(trainable)
+        }
+        replicated = NamedSharding(self.mesh, P())
+        abs_opt = jax.eval_shape(self.tx.init, trainable)
+
+        def pick(path, leaf):
+            s = "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "name", k))) for k in path
+            )
+            for p_path, sh in param_shardings.items():
+                if s.endswith(p_path):
+                    return sh
+            return replicated
+
+        return jax.tree_util.tree_map_with_path(pick, abs_opt)
+
+    def _init_opt_state(self, trainable: Any) -> Any:
+        return jax.jit(self.tx.init, out_shardings=self._opt_shardings(trainable))(trainable)
+
     def create_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         model, mesh = self.model, self.mesh
         batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
@@ -61,12 +87,14 @@ class Trainer:
         with mesh:
             params = jax.jit(init_fn, out_shardings=self.param_shardings)(rng)
             trainable, frozen = partition_params(params, self.slam_cfg)
-            opt_state = jax.jit(self.tx.init)(trainable)
+            opt_state = self._init_opt_state(trainable)
         return {
             "trainable": trainable,
             "frozen": frozen,
             "opt_state": opt_state,
-            "step": jnp.zeros((), jnp.int32),
+            "step": jax.device_put(
+                jnp.zeros((), jnp.int32), NamedSharding(self.mesh, P())
+            ),
         }
 
     def state_from_params(self, params: Any) -> TrainState:
@@ -74,12 +102,14 @@ class Trainer:
         the resume / pretrained-weights path."""
         with self.mesh:
             trainable, frozen = partition_params(params, self.slam_cfg)
-            opt_state = jax.jit(self.tx.init)(trainable)
+            opt_state = self._init_opt_state(trainable)
         return {
             "trainable": trainable,
             "frozen": frozen,
             "opt_state": opt_state,
-            "step": jnp.zeros((), jnp.int32),
+            "step": jax.device_put(
+                jnp.zeros((), jnp.int32), NamedSharding(self.mesh, P())
+            ),
         }
 
     def build_steps(self, use_dropout: bool = False) -> None:

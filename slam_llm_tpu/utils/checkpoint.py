@@ -35,13 +35,22 @@ def save_state(path: str, state: Dict[str, Any]) -> None:
 
 
 def restore_state(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
-    """Restore into the (sharded, abstract-or-concrete) ``target`` structure."""
+    """Restore into the (sharded, abstract-or-concrete) ``target`` structure.
+
+    Shardings are taken from the target leaves so restored arrays land
+    directly on the mesh (not gathered onto one device)."""
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
+
+    def abstract(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(jnp.shape(x), x.dtype, sharding=sharding)
 
     path = Path(path).resolve()
     with ocp.StandardCheckpointer() as ckptr:
-        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, _to_savable(target))
-        restored = ckptr.restore(path, abstract)
+        restored = ckptr.restore(
+            path, jax.tree_util.tree_map(abstract, _to_savable(target))
+        )
     return _from_savable(restored, target)
 
 
