@@ -40,6 +40,33 @@ class GenerationConfig:
     bos_token_id: int = 1
 
 
+def _last_valid_index(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Index of the last valid (mask==1) position per row.
+
+    Padding-side-agnostic: the speech collator LEFT-pads the audio+prompt
+    segment (mirroring reference datasets/speech_dataset.py:216-291), so
+    ``mask.sum()-1`` would gather mid-prompt logits for shorter rows.
+    """
+    t = attention_mask.shape[1]
+    rev = attention_mask[:, ::-1].astype(jnp.int32)
+    return (t - 1 - jnp.argmax(rev, axis=1)).astype(jnp.int32)
+
+
+def _prompt_token_counts(batch, vocab: int) -> jnp.ndarray:
+    """Occurrence counts of REAL prompt tokens (for repetition penalty).
+
+    Audio pseudo-token slots carry ``input_ids == -1`` (clamped to 0 before
+    embedding); counting them would penalize token id 0 hundreds of times per
+    utterance. Only count positions that are attended AND carry a real id.
+    """
+    ids_raw = batch["input_ids"]
+    valid = (batch["attention_mask"] > 0) & (ids_raw >= 0)
+    ids = jnp.maximum(ids_raw, 0)
+    return jax.vmap(
+        lambda row, m: jnp.zeros((vocab,), jnp.int32).at[row].add(m)
+    )(ids, valid.astype(jnp.int32))
+
+
 def _apply_repetition_penalty(logits, token_counts, penalty):
     """HF CTRL-style: divide positive logits by p, multiply negative by p,
     for every token that already appeared."""
@@ -89,17 +116,16 @@ class Generator:
         cache = init_kv_cache(llm_cfg, b, max_len)
 
         logits, cache = model.apply(params, batch, cache, method="prefill")
-        # prompt is right-padded inside the bucket: the last VALID position's
-        # logits seed the first generated token
-        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1  # (B,)
+        # the last VALID position's logits seed the first generated token
+        # (padding-side-agnostic: collator left-pads the prompt segment)
+        last_idx = _last_valid_index(batch["attention_mask"])  # (B,)
         next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
-        prompt_len = last_idx + 1
+        # RoPE positions are cumsum-over-mask, so the next position index is
+        # the VALID token count — not last_idx+1, which differs under left-pad
+        prompt_len = batch["attention_mask"].sum(axis=1).astype(jnp.int32)
 
         # token occurrence counts seed the repetition penalty with the prompt
-        ids = jnp.maximum(batch["input_ids"], 0)
-        token_counts = jax.vmap(
-            lambda row, m: jnp.zeros((logits.shape[-1],), jnp.int32).at[row].add(m)
-        )(ids, batch["attention_mask"].astype(jnp.int32))
+        token_counts = _prompt_token_counts(batch, logits.shape[-1])
 
         def pick(next_logits, token_counts, rng):
             lg = _apply_repetition_penalty(next_logits, token_counts, cfg.repetition_penalty)
@@ -164,9 +190,9 @@ class Generator:
         # prefill once at batch B, then tile cache/state to B*K
         cache = init_kv_cache(llm_cfg, b, max_len)
         logits, cache = model.apply(params, batch, cache, method="prefill")
-        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
+        last_idx = _last_valid_index(batch["attention_mask"])
         next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
-        prompt_len = last_idx + 1  # (B,)
+        prompt_len = batch["attention_mask"].sum(axis=1).astype(jnp.int32)  # (B,)
 
         v = next_logits.shape[-1]
         cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}  # (L, B*K, ...)

@@ -9,6 +9,7 @@ Compute runs in ``dtype`` (default bfloat16 — MXU-native), params are kept in
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -175,16 +176,18 @@ def mha_attention(
     ``kv_mask``/``causal`` — the structured form lowers to the Pallas flash
     kernel on TPU (ops/kernels/flash_attention.py), XLA elsewhere.
     """
-    hkv = k.shape[2]
-    groups = q.shape[2] // hkv
-    if groups > 1:
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
     if use_pallas is None:
         use_pallas = bias is None and _should_use_pallas(q, k)
     if use_pallas:
         from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 
+        hkv = k.shape[2]
+        groups = q.shape[2] // hkv
+        if groups > 1:
+            # the Pallas kernel wants H == Hkv; expand here (the XLA path
+            # below keeps KV at Hkv via a grouped einsum instead)
+            k = jnp.repeat(k, groups, axis=2)
+            v = jnp.repeat(v, groups, axis=2)
         mask = (
             kv_mask.astype(jnp.int32)
             if kv_mask is not None
@@ -208,10 +211,17 @@ def _should_use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
 
 
 def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
+    """XLA attention: bf16 score matmuls on the MXU with fp32 accumulation
+    (``preferred_element_type``) — NOT fp32 inputs, which would route the
+    matmul off the fast MXU path. GQA is a grouped einsum: KV stays at Hkv
+    heads instead of being materialized ``n_heads`` wide."""
     b, tq, h, d = q.shape
-    tk = k.shape[1]
-    qf = q.astype(jnp.float32) / jnp.sqrt(d).astype(jnp.float32)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    tk, hkv = k.shape[1], k.shape[2]
+    g = h // hkv
+    qg = q.reshape(b, tq, hkv, g, d)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
     if bias is None and (kv_mask is not None or causal):
         mask = (
             kv_mask.astype(bool)[:, None, None, :]
@@ -222,10 +232,16 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
             mask = mask & jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)[None, None]
         bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
     if bias is not None:
-        logits = logits + bias
+        # (B, 1|H, Tq, Tk) -> (B, hkv|1, g|1, Tq, Tk)
+        bh = bias.shape[1]
+        bias5 = bias.reshape(b, hkv, g, tq, tk) if bh == h else bias[:, :, None]
+        logits = logits + bias5
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
-    return out
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, tq, h, d).astype(v.dtype)
 
 
 def make_causal_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

@@ -100,6 +100,11 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret):
     b, tq, h, d = q.shape
     tk = k.shape[1]
     bh = b * h
+    if causal and tq != tk:
+        # alignment convention: the kernel is start-aligned (kv_idx <= q_idx),
+        # the XLA fallback / backward are end-aligned (tril k=tk-tq); they
+        # only agree when tq == tk. All causal callers are self-attention.
+        raise ValueError(f"causal flash attention requires tq == tk, got {tq} vs {tk}")
 
     # block sizes must be 128-multiples (TPU lane tiling)
     block_q = min(_round_up(block_q, 128), _round_up(tq, 128))

@@ -69,6 +69,7 @@ def train(
             if hasattr(train_loader, "sampler") and hasattr(train_loader.sampler, "set_epoch"):
                 train_loader.sampler.set_epoch(epoch)
             step_times = []
+            epoch_steps = 0
             for batch in train_loader:
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
@@ -93,7 +94,10 @@ def train(
                         ckpt = _save_checkpoint(trainer, state, tc, epoch, step)
                         results["checkpoints"].append(ckpt)
                         logger.logger.info("new best val loss %.4f -> saved %s", val["loss"], ckpt)
-                if 0 < tc.max_steps_per_epoch <= step:
+                # per-epoch cap, counted from the start of THIS epoch (the
+                # global step survives resumes and never resets)
+                epoch_steps += 1
+                if 0 < tc.max_steps_per_epoch <= epoch_steps:
                     break
             results["epoch_times"].append(time.perf_counter() - t_epoch)
             logger.logger.info("epoch %d done: %s", epoch, mem.stats())

@@ -55,12 +55,17 @@ class Trainer:
         }
         replicated = NamedSharding(self.mesh, P())
         abs_opt = jax.eval_shape(self.tx.init, trainable)
+        # Longest-first: the opt-state leaf path embeds the FULL param path as
+        # a suffix, so the longest matching candidate is the exact param; a
+        # shorter param path that is itself a suffix (…/a/kernel vs
+        # …/b/a/kernel) can no longer shadow it.
+        by_len = sorted(param_shardings.items(), key=lambda kv: -len(kv[0]))
 
         def pick(path, leaf):
             s = "/" + "/".join(
                 str(getattr(k, "key", getattr(k, "name", k))) for k in path
             )
-            for p_path, sh in param_shardings.items():
+            for p_path, sh in by_len:
                 if s.endswith(p_path):
                     return sh
             return replicated

@@ -173,6 +173,42 @@ def test_strip_after_eos():
     np.testing.assert_array_equal(out, [[5, 0, 0, 0], [9, 9, 9, 0]])
 
 
+def test_left_padded_prompts_match_right_padded(setup):
+    """The collator LEFT-pads the audio+prompt segment; the seed-logit gather
+    must find the last VALID position, not mask.sum()-1 (round-1 advisor bug:
+    mixed prompt lengths silently decoded from mid-prompt logits)."""
+    cfg, model, params, batch = setup
+    left = {k: v.copy() for k, v in batch.items()}
+    for r in range(left["input_ids"].shape[0]):
+        valid = batch["attention_mask"][r].astype(bool)
+        n = int(valid.sum())
+        t = left["input_ids"].shape[1]
+        for key in ("input_ids", "modality_mask", "attention_mask"):
+            row = np.zeros_like(batch[key][r])
+            row[t - n:] = batch[key][r][valid]
+            if key == "attention_mask":
+                row[: t - n] = 0
+            left[key][r] = row
+    g = Generator(model, GenerationConfig(num_beams=1, eos_token_id=-2, pad_token_id=0))
+    got_left = g.generate(params, left, max_new_tokens=4)
+    want = _manual_greedy(model, params, batch, 4)
+    np.testing.assert_array_equal(got_left, want)
+
+
+def test_repetition_penalty_ignores_audio_pseudo_tokens(setup):
+    """input_ids == -1 slots (audio splice) must not count as token id 0."""
+    cfg, model, params, batch = setup
+    from slam_llm_tpu.inference.generate import _prompt_token_counts
+
+    b2 = {k: jnp.asarray(v) for k, v in batch.items()}
+    ids = np.asarray(batch["input_ids"]).copy()
+    ids[batch["modality_mask"].astype(bool)] = -1
+    b2["input_ids"] = jnp.asarray(ids)
+    counts = np.asarray(_prompt_token_counts(b2, 256))
+    n_zero_real = ((ids == 0) & (batch["attention_mask"] > 0)).sum(axis=1)
+    np.testing.assert_array_equal(counts[:, 0], n_zero_real)
+
+
 def test_eos_stops_row(setup):
     """A row that emits EOS keeps padding afterwards."""
     cfg, model, params, batch = setup

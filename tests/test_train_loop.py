@@ -1,0 +1,76 @@
+"""Epoch/step loop logic tests (stub trainer — no XLA compile).
+
+Regression for the round-1 advisor finding: ``max_steps_per_epoch`` was
+compared against the GLOBAL step counter, so every epoch after the first
+trained zero steps, and a resumed run with step > cap trained nothing.
+"""
+
+import contextlib
+
+import numpy as np
+
+from slam_llm_tpu.train.loop import train
+
+
+class _StubTrainer:
+    """Counts steps; mimics the Trainer interface the loop touches."""
+
+    def __init__(self, start_step=0):
+        self.calls_per_epoch = []
+        self._calls = 0
+        self.mesh = contextlib.nullcontext()
+        self.train_config = None
+        self._start_step = start_step
+
+    def put_batch(self, batch):
+        return batch
+
+    def train_step(self, state, batch, rng):
+        self._calls += 1
+        state = dict(state)
+        state["step"] = state["step"] + 1
+        return state, {"loss": np.float32(1.0), "acc": np.float32(0.5)}
+
+
+class _TC:
+    model_name = "stub"
+    output_dir = "/tmp/stub_ckpt"
+    num_epochs = 3
+    seed = 0
+    run_validation = False
+    save_model = False
+    save_optimizer = False
+    validation_interval = 1000
+    max_steps_per_epoch = 2
+    log_interval = 1
+
+
+def _loader(n):
+    return [{"input_ids": np.zeros((2, 4), np.int32)} for _ in range(n)]
+
+
+def test_max_steps_per_epoch_counts_per_epoch():
+    tr = _StubTrainer()
+    tc = _TC()
+    state = {"step": np.int32(0)}
+    res = train(tr, state, _loader(5), train_config=tc)
+    # 3 epochs x 2 steps, NOT 2 total
+    assert int(res["state"]["step"]) == 6
+
+
+def test_max_steps_per_epoch_after_resume():
+    """A resumed state with step already past the cap must still train."""
+    tr = _StubTrainer()
+    tc = _TC()
+    state = {"step": np.int32(100)}  # resumed well past max_steps_per_epoch
+    res = train(tr, state, _loader(5), train_config=tc)
+    assert int(res["state"]["step"]) == 106
+
+
+def test_no_cap_runs_full_loader():
+    tr = _StubTrainer()
+    tc = _TC()
+    tc.max_steps_per_epoch = 0
+    state = {"step": np.int32(0)}
+    res = train(tr, state, _loader(4), train_config=tc)
+    assert int(res["state"]["step"]) == 12
