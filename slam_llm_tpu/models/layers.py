@@ -181,13 +181,8 @@ def mha_attention(
     if use_pallas:
         from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 
-        hkv = k.shape[2]
-        groups = q.shape[2] // hkv
-        if groups > 1:
-            # the Pallas kernel wants H == Hkv; expand here (the XLA path
-            # below keeps KV at Hkv via a grouped einsum instead)
-            k = jnp.repeat(k, groups, axis=2)
-            v = jnp.repeat(v, groups, axis=2)
+        # GQA is handled inside the kernel: one grid cell per KV head loads
+        # K/V once for all its query heads (no jnp.repeat materialization)
         mask = (
             kv_mask.astype(jnp.int32)
             if kv_mask is not None
@@ -204,10 +199,12 @@ def _should_use_pallas(q: jnp.ndarray, k: jnp.ndarray) -> bool:
         platform = jax.default_backend()
     if platform != "tpu":
         return False
-    # measured crossover on v5e: the flash kernel beats XLA's fused attention
-    # once the KV length is ~1k+ (encoder shapes: 1500-frame whisper, packed
-    # 4096-token LLM); below that XLA wins on dispatch overhead
-    return q.shape[1] >= 128 and k.shape[1] >= 1024 and q.shape[-1] % 64 == 0
+    # measured on v5e (chained, single host sync): at T=448 flash fwd matches
+    # XLA and fwd+bwd beats it; at T=1500 flash is ~2x. More important than
+    # raw speed: the custom-vjp saves only (out, lse), so a dots_saveable
+    # remat policy never materializes the (B,H,Tq,Tk) logits — the XLA path
+    # at b=16/T=448/22 layers would pin 9.6 GB of HBM for them.
+    return q.shape[1] >= 128 and k.shape[1] >= 256 and q.shape[-1] % 64 == 0
 
 
 def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):

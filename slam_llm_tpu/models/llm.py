@@ -59,7 +59,11 @@ class LLMConfig:
     # compile strategy
     scan_layers: bool = True
     remat: bool = True
-    remat_policy: str = "nothing_saveable"
+    # dots_flash_saveable: save matmul outputs + flash-attention residuals,
+    # recompute only elementwise ops in the backward — measured fastest on
+    # v5e at flagship shapes (34.9 -> 49 utt/s/chip round 2); see
+    # _remat_policy below for the alternatives.
+    remat_policy: str = "dots_flash_saveable"
 
     @staticmethod
     def tinyllama_1_1b() -> "LLMConfig":
@@ -270,6 +274,22 @@ def _remat_policy(name: str):
         return None
     if name == "dots_saveable":
         return jax.checkpoint_policies.dots_saveable
+    if name == "flash_only":
+        # save ONLY the flash-attention residuals; recompute every matmul in
+        # the backward. Minimal memory; the gate/up recompute costs about the
+        # same as the save traffic at flagship shapes, so this frees ~3.5 GB
+        # for batch at ~equal step time.
+        return jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse")
+    if name == "dots_flash_saveable":
+        # dots_saveable + keep the flash-attention kernel residuals
+        # (out, lse): the backward then runs only the tiled dq/dk/dv kernels
+        # with NO forward recompute. Memory: +(B,T,H,D) bf16 + (B,H,T) f32
+        # per layer — ~30 MB/layer at flagship shapes, far below the
+        # (B,H,T,T) logits that dots_saveable alone would pin on the XLA path.
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable,
+            jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
+        )
     return jax.checkpoint_policies.nothing_saveable
 
 

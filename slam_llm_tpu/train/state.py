@@ -159,12 +159,36 @@ class Trainer:
             return {"loss": out["loss"], "acc": out["acc"]}
 
         bs = batch_sharding(self.mesh)
+        self._train_step_fn = train_step
         self.train_step = jax.jit(
             train_step,
             donate_argnums=(0,),
             in_shardings=(None, bs, None),
         )
         self.eval_step = jax.jit(eval_step, in_shardings=(None, bs))
+
+    def build_scan_step(self, k: int):
+        """K train steps fused into ONE dispatch via ``lax.scan``.
+
+        Cuts per-step host->device dispatch latency by k (the dominant cost
+        on tunneled/remote TPU setups; still a win on-pod). The batch is
+        reused for all k steps — callers that stream data should stack
+        batches to (k, ...) and switch the scan to consume them as xs.
+        Returns (state, metrics_of_last_step).
+        """
+        inner = self._train_step_fn
+        bs = batch_sharding(self.mesh)
+
+        def scan_k(state, batch, rng):
+            def body(carry, _):
+                st, r = carry
+                r, sub = jax.random.split(r)
+                st, metrics = inner(st, batch, sub)
+                return (st, r), metrics
+            (state, rng), ms = jax.lax.scan(body, (state, rng), None, length=k)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return jax.jit(scan_k, donate_argnums=(0,), in_shardings=(None, bs, None))
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         """Host batch -> device, sharded along (dp, fsdp)."""
