@@ -186,6 +186,14 @@ class DecodeConfig:
     length_penalty: float = 1.0
     temperature: float = 1.0
     decode_log: str = "/tmp/decode_log"
+    # S2S (SLAM-Omni) driver knobs — reference examples/s2s/s2s_config.py
+    # DecodeConfig (:205-232) + the generate/ entry dispatch
+    mode: str = "online"  # online | online_multi_round | online_stream | batch
+    text_repetition_penalty: float = 1.2
+    audio_repetition_penalty: float = 1.2
+    num_latency_tokens: int = 0
+    decode_text_only: bool = False
+    stream_stride: int = 24
 
 
 @dataclass

@@ -360,7 +360,10 @@ class S2SGenerator:
         llm_cfg = dataclasses.replace(model.cfg.llm, vocab_size=v.total_vocabsize)
         cache = init_kv_cache(llm_cfg, b, max_len)
         logits, cache = model.apply(params, batch, cache, method="prefill")
-        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
+        # last VALID position, padding-side-agnostic (collator left-pads)
+        from slam_llm_tpu.inference.generate import _last_valid_index
+
+        last_idx = _last_valid_index(batch["attention_mask"])
         next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
 
         out_tokens = jnp.full((b, L + 1, max_new), v.pad_a, jnp.int32)
@@ -380,8 +383,8 @@ class S2SGenerator:
         L = v.code_layer
         b, _, t = batch["input_ids"].shape
         max_len = t + max_new
-        last_idx = batch["attention_mask"].sum(axis=1).astype(jnp.int32) - 1
-        prompt_len = last_idx + 1
+        # RoPE positions are cumsum-over-mask: next index = valid-token count
+        prompt_len = batch["attention_mask"].sum(axis=1).astype(jnp.int32)
 
         def cond(state):
             i = state[0]

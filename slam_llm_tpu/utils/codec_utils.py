@@ -76,23 +76,54 @@ def cosyvoice_group_to_stream(streams: np.ndarray) -> np.ndarray:
 
 @dataclass
 class CodecDecoder:
-    """Pluggable vocoder: ``decode_fn(codebooks) -> waveform float32``.
+    """SNAC / CosyVoice vocoder front door.
 
-    The reference instantiates SNAC / CosyVoice torch models
-    (examples/s2s/utils/codec_utils.py:8-24); those checkpoints are external.
-    Framework code only depends on this interface.
+    SNAC decodes NATIVELY in JAX (models/snac.py — from-scratch port of the
+    published decoder graph; load real weights via ``from_snac_checkpoint``).
+    CosyVoice's flow-matching vocoder still goes through ``decode_fn``
+    (reference examples/s2s/utils/codec_utils.py:48-116 — round-3 item).
     """
 
     codec_type: str = "snac"  # snac | cosyvoice
     decode_fn: Optional[Callable] = None
     sample_rate: int = 24000
+    snac_params: Optional[dict] = None
+    snac_cfg: Optional[object] = None
+
+    @staticmethod
+    def from_snac_checkpoint(path: str) -> "CodecDecoder":
+        """Load a torch SNAC checkpoint (state dict .pt / .pth) natively."""
+        import torch
+
+        from slam_llm_tpu.models.snac import SNACConfig, convert_snac_torch_state
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        cfg = SNACConfig.snac_24khz()
+        return CodecDecoder(
+            codec_type="snac",
+            snac_params=convert_snac_torch_state(sd, cfg),
+            snac_cfg=cfg,
+            sample_rate=cfg.sampling_rate,
+        )
 
     def decode(self, streams: np.ndarray) -> np.ndarray:
-        if self.decode_fn is None:
-            raise RuntimeError(
-                "no vocoder attached: construct CodecDecoder(decode_fn=...) "
-                "with a SNAC/CosyVoice decode callable"
-            )
+        """Staggered generated streams (L, T) -> waveform float32 (samples,)."""
         if self.codec_type == "snac":
-            return np.asarray(self.decode_fn(snac_streams_to_codebooks(streams)))
+            cbs = snac_streams_to_codebooks(streams)
+            if self.snac_params is not None:
+                from slam_llm_tpu.models.snac import snac_decode
+
+                cfg = self.snac_cfg
+                cbs = [c % cfg.codebook_size for c in cbs]
+                return snac_decode(self.snac_params, cbs, cfg)[0]
+            if self.decode_fn is not None:
+                return np.asarray(self.decode_fn(cbs))
+            raise RuntimeError(
+                "no vocoder attached: use CodecDecoder.from_snac_checkpoint(path) "
+                "or construct with snac_params/decode_fn"
+            )
+        if self.decode_fn is None:
+            raise RuntimeError("CosyVoice decoding needs decode_fn (external flow vocoder)")
         return np.asarray(self.decode_fn(cosyvoice_group_to_stream(streams)))
