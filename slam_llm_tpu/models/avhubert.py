@@ -1,15 +1,20 @@
 """AV-HuBERT audio-visual encoder (the VSR / AVSR path), TPU-first.
 
 Re-implements the reference's in-tree fairseq AV-HuBERT plugin
-(reference models/avhubert/hubert.py:348, resnet.py): a 3D-conv + ResNet-18
-lip-reading video frontend, a stacked-logfbank audio frontend, modality
-fusion by channel concat, and a wav2vec2-style transformer trunk (reused from
-``wavlm.WavLMEncoder``'s layer stack via HuBERT-large settings).
+(reference models/avhubert/hubert.py:348, resnet.py) with the exact
+inference dataflow so fairseq checkpoints convert 1:1:
 
-Video input: (B, T, H, W) grayscale mouth crops (cv2 loading +
-center/random-crop + normalization live in data/avhubert_dataset.py).
-Either modality may be absent (video-only VSR, audio-only, or AV) —
-matching the reference's modality dropout design.
+  video -> 3D-conv stem + ResNet-18 trunk (PReLU; BatchNorm folded into the
+  convs at conversion) -> per-frame spatial pool -> video_proj(512 -> D)
+  audio (26-mel logfbank x4 stack) -> audio_proj(104 -> D)
+  concat([audio, video], -1)  [missing modality = zeros, hubert.py:631-634]
+  -> LayerNorm(2D) -> post_proj(2D -> D) -> conv-pos embedding ->
+  wav2vec2-style pre-LN transformer trunk (wavlm.WavLMLayer) -> final LN.
+
+``convert_avhubert_fairseq`` maps a fairseq AV-HuBERT checkpoint
+(reference models/encoder.py:129-138 loads them via fairseq); parity is
+tested against a torch mirror with the fairseq key schema
+(tests/test_avhubert.py).
 """
 
 from __future__ import annotations
@@ -39,6 +44,8 @@ class AVHubertConfig:
     resnet_dim: int = 512
     frontend_dim: int = 64
     audio_feat_dim: int = 104  # 26 logfbank x 4-frame stack
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     scan_layers: bool = True
@@ -48,6 +55,7 @@ class AVHubertConfig:
         return WavLMConfig(
             d_model=self.d_model, n_heads=self.n_heads, n_layers=self.n_layers,
             ffn_dim=self.ffn_dim, rel_bias=False, do_stable_layer_norm=True,
+            conv_pos=self.conv_pos, conv_pos_groups=self.conv_pos_groups,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
@@ -63,7 +71,8 @@ class AVHubertConfig:
     def tiny_test() -> "AVHubertConfig":
         return AVHubertConfig(
             d_model=32, n_heads=2, n_layers=2, ffn_dim=64,
-            resnet_dim=16, frontend_dim=8, audio_feat_dim=16,
+            resnet_dim=16, frontend_dim=2, audio_feat_dim=16,
+            conv_pos=16, conv_pos_groups=2,
         )
 
 
@@ -74,7 +83,14 @@ AVHUBERT_PRESETS = {
 }
 
 
+def _prelu(x, alpha):
+    return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
 class BasicBlock2d(nn.Module):
+    """conv-bn(folded)-prelu-conv-bn(folded) + shortcut, PReLU out
+    (reference resnet.py BasicBlock, relu_type='prelu')."""
+
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
@@ -82,26 +98,27 @@ class BasicBlock2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (N, H, W, C)
-        conv = lambda name, stride: nn.Conv(  # noqa: E731
-            features=self.features, kernel_size=(3, 3), strides=(stride, stride),
-            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+        conv = lambda name, stride, ksz: nn.Conv(  # noqa: E731
+            features=self.features, kernel_size=(ksz, ksz), strides=(stride, stride),
+            padding=((ksz // 2, ksz // 2),) * 2, use_bias=True, dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.he_normal(), ("conv_kernel_t", "conv_kernel_f", "conv_in", "embed")
             ),
             name=name,
         )
-        ln = lambda name: LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa
-        out = nn.relu(ln("n1")(conv("c1", self.stride)(x)))
-        out = ln("n2")(conv("c2", 1)(out))
+        a1 = self.param("prelu1", nn.initializers.constant(0.25), (self.features,), self.param_dtype)
+        a2 = self.param("prelu2", nn.initializers.constant(0.25), (self.features,), self.param_dtype)
+        out = _prelu(conv("c1", self.stride, 3)(x), a1.astype(self.dtype))
+        out = conv("c2", 1, 3)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = ln("nd")(conv("cd", self.stride)(x))
-        return nn.relu(x + out)
+            x = conv("cd", self.stride, 1)(x)
+        return _prelu(x + out, a2.astype(self.dtype))
 
 
 class VideoFrontend(nn.Module):
-    """3D-conv stem + ResNet-18-style trunk, per-frame spatial pooling
-    (reference models/avhubert/resnet.py)."""
+    """3D-conv stem + ResNet-18 trunk, per-frame spatial pooling
+    (reference models/avhubert/resnet.py ResEncoder)."""
 
     cfg: AVHubertConfig
 
@@ -110,10 +127,9 @@ class VideoFrontend(nn.Module):
         c = self.cfg
         b, t, h, w = video.shape
         x = video[..., None].astype(c.dtype)  # (B, T, H, W, 1)
-        # 3D stem: temporal k=5, spatial stride 2 + pool
         x = nn.Conv(
             features=c.frontend_dim, kernel_size=(5, 7, 7), strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)), use_bias=False, dtype=c.dtype,
+            padding=((2, 2), (3, 3), (3, 3)), use_bias=True, dtype=c.dtype,
             param_dtype=c.param_dtype,
             kernel_init=nn.with_logical_partitioning(
                 nn.initializers.he_normal(),
@@ -121,8 +137,10 @@ class VideoFrontend(nn.Module):
             ),
             name="stem",
         )(x)
-        x = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="stem_norm")(x)
-        x = nn.relu(x)
+        alpha = self.param(
+            "stem_prelu", nn.initializers.constant(0.25), (c.frontend_dim,), c.param_dtype
+        )
+        x = _prelu(x, alpha.astype(c.dtype))
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1)))
         # fold time into batch for the 2D trunk
         hh, ww = x.shape[2], x.shape[3]
@@ -132,7 +150,7 @@ class VideoFrontend(nn.Module):
             stride = 1 if stage == 0 else 2
             x = BasicBlock2d(dim, stride, c.dtype, c.param_dtype, name=f"layer{stage}_0")(x)
             x = BasicBlock2d(dim, 1, c.dtype, c.param_dtype, name=f"layer{stage}_1")(x)
-        x = x.mean(axis=(1, 2))  # global spatial pool -> (B*T, resnet_dim)
+        x = x.mean(axis=(1, 2))  # adaptive avg pool -> (B*T, resnet_dim)
         return x.reshape(b, t, c.resnet_dim)
 
 
@@ -151,30 +169,27 @@ class AVHubertEncoder(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c = self.cfg
         assert video is not None or audio_feats is not None
-        feats = []
-        if video is not None:
-            v = VideoFrontend(c, name="video_frontend")(video)
-            feats.append(
-                DenseGeneralLora(
-                    features=c.d_model, use_bias=True, dtype=c.dtype,
-                    param_dtype=c.param_dtype, kernel_axes=("conv_in", "embed"),
-                    name="video_proj",
-                )(v)
-            )
-        if audio_feats is not None:
-            a = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="audio_norm")(
-                audio_feats.astype(c.dtype)
-            )
-            feats.append(
-                DenseGeneralLora(
-                    features=c.d_model, use_bias=True, dtype=c.dtype,
-                    param_dtype=c.param_dtype, kernel_axes=("conv_in", "embed"),
-                    name="audio_proj",
-                )(a)
-            )
-        # modality fusion: sum of projections (missing modality contributes 0,
-        # the reference concatenates then projects — equivalent linear algebra)
-        x = feats[0] if len(feats) == 1 else feats[0] + feats[1]
+        dense = lambda name, axes=("conv_in", "embed"), feats=c.d_model: DenseGeneralLora(  # noqa
+            features=feats, use_bias=True, dtype=c.dtype,
+            param_dtype=c.param_dtype, kernel_axes=axes, name=name,
+        )
+        bt = (video if video is not None else audio_feats).shape[:2]
+        # per-modality projections; missing modality contributes ZEROS
+        # (reference hubert.py:631-634 concat fuse + modality dropout)
+        fa = (
+            dense("audio_proj")(audio_feats.astype(c.dtype))
+            if audio_feats is not None
+            else jnp.zeros((*bt, c.d_model), c.dtype)
+        )
+        fv = (
+            dense("video_proj")(VideoFrontend(c, name="video_frontend")(video))
+            if video is not None
+            else jnp.zeros((*bt, c.d_model), c.dtype)
+        )
+        x = jnp.concatenate([fa, fv], axis=-1)  # (B, T, 2D) audio-first
+        x = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="fuse_ln")(x)
+        x = dense("post_proj")(x)
+
         b, t, _ = x.shape
         if frame_mask is None:
             frame_mask = jnp.ones((b, t), jnp.int32)
@@ -216,3 +231,109 @@ def stacked_logfbank(audio: np.ndarray, stack: int = 4, n_mels: int = 26) -> np.
     mel = fbank(np.asarray(audio) * 32768.0, num_mel_bins=n_mels)
     n = (mel.shape[0] // stack) * stack
     return mel[:n].reshape(-1, stack * n_mels).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# fairseq checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def _fold_bn(w: np.ndarray, bn: Dict[str, np.ndarray], bias: Optional[np.ndarray] = None,
+             eps: float = 1e-5) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold BatchNorm (inference) into the preceding conv: per-out-channel
+    scale on the kernel + new bias. w is torch layout with out-channels
+    first."""
+    g, b_, mu, var = bn["weight"], bn["bias"], bn["running_mean"], bn["running_var"]
+    s = g / np.sqrt(var + eps)
+    shape = (-1,) + (1,) * (w.ndim - 1)
+    w2 = w * s.reshape(shape)
+    b0 = bias if bias is not None else np.zeros_like(mu)
+    return w2, (b0 - mu) * s + b_
+
+
+def convert_avhubert_fairseq(sd: Dict[str, Any], cfg: AVHubertConfig) -> Dict[str, Any]:
+    """fairseq AV-HuBERT checkpoint -> AVHubertEncoder subtree (flax params).
+
+    Accepts {'model': sd} or the state dict. BatchNorm layers in the video
+    frontend are folded into their convs (inference semantics)."""
+    if "model" in sd and hasattr(sd["model"], "items"):
+        sd = sd["model"]
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
+          for k, v in sd.items()}
+
+    def bn(prefix):
+        return {s: sd[f"{prefix}.{s}"] for s in ("weight", "bias", "running_mean", "running_var")}
+
+    p: Dict[str, Any] = {}
+
+    # --- video frontend ---
+    vf: Dict[str, Any] = {}
+    res = "feature_extractor_video.resnet"
+    w, b = _fold_bn(sd[f"{res}.frontend3D.0.weight"], bn(f"{res}.frontend3D.1"))
+    # torch conv3d (O, I, kt, kh, kw) -> flax (kt, kh, kw, I, O)
+    vf["stem"] = {"kernel": w.transpose(2, 3, 4, 1, 0), "bias": b}
+    vf["stem_prelu"] = sd[f"{res}.frontend3D.2.weight"]
+    for stage in range(4):
+        for j in range(2):
+            src = f"{res}.trunk.layer{stage + 1}.{j}"
+            blk: Dict[str, Any] = {}
+            w1, b1 = _fold_bn(sd[f"{src}.conv1.weight"], bn(f"{src}.bn1"))
+            w2, b2 = _fold_bn(sd[f"{src}.conv2.weight"], bn(f"{src}.bn2"))
+            blk["c1"] = {"kernel": w1.transpose(2, 3, 1, 0), "bias": b1}
+            blk["c2"] = {"kernel": w2.transpose(2, 3, 1, 0), "bias": b2}
+            blk["prelu1"] = sd[f"{src}.relu1.weight"]
+            blk["prelu2"] = sd[f"{src}.relu2.weight"]
+            if f"{src}.downsample.0.weight" in sd:
+                wd, bd = _fold_bn(sd[f"{src}.downsample.0.weight"], bn(f"{src}.downsample.1"))
+                blk["cd"] = {"kernel": wd.transpose(2, 3, 1, 0), "bias": bd}
+            vf[f"layer{stage}_{j}"] = blk
+    p["video_frontend"] = vf
+
+    t = lambda w: np.ascontiguousarray(w.T)  # noqa: E731
+    p["audio_proj"] = {"kernel": t(sd["feature_extractor_audio.proj.weight"]),
+                       "bias": sd["feature_extractor_audio.proj.bias"]}
+    p["video_proj"] = {"kernel": t(sd["feature_extractor_video.proj.weight"]),
+                       "bias": sd["feature_extractor_video.proj.bias"]}
+    p["fuse_ln"] = {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]}
+    p["post_proj"] = {"kernel": t(sd["post_extract_proj.weight"]),
+                      "bias": sd["post_extract_proj.bias"]}
+
+    # positional conv (weight-normed, fairseq key encoder.pos_conv.0)
+    base = "encoder.pos_conv.0."
+    if base + "weight" in sd:
+        w = sd[base + "weight"]
+    else:
+        g, v = sd[base + "weight_g"], sd[base + "weight_v"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+    p["pos_conv"] = {"conv": {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0))),
+                              "bias": sd[base + "bias"]}}
+
+    n = cfg.n_layers
+    L = "encoder.layers.{}."
+
+    def stack(fmt, transpose=True):
+        ws = [sd[fmt.format(i)] for i in range(n)]
+        return np.stack([t(w) if transpose else w for w in ws], 0)
+
+    p["layers"] = {
+        "attention": {
+            "q_proj": {"kernel": stack(L + "self_attn.q_proj.weight"),
+                       "bias": stack(L + "self_attn.q_proj.bias", False)},
+            "k_proj": {"kernel": stack(L + "self_attn.k_proj.weight"),
+                       "bias": stack(L + "self_attn.k_proj.bias", False)},
+            "v_proj": {"kernel": stack(L + "self_attn.v_proj.weight"),
+                       "bias": stack(L + "self_attn.v_proj.bias", False)},
+            "out_proj": {"kernel": stack(L + "self_attn.out_proj.weight"),
+                         "bias": stack(L + "self_attn.out_proj.bias", False)},
+        },
+        "layer_norm": {"scale": stack(L + "self_attn_layer_norm.weight", False),
+                       "bias": stack(L + "self_attn_layer_norm.bias", False)},
+        "final_layer_norm": {"scale": stack(L + "final_layer_norm.weight", False),
+                             "bias": stack(L + "final_layer_norm.bias", False)},
+        "fc1": {"kernel": stack(L + "fc1.weight"), "bias": stack(L + "fc1.bias", False)},
+        "fc2": {"kernel": stack(L + "fc2.weight"), "bias": stack(L + "fc2.bias", False)},
+    }
+    p["encoder_ln"] = {"scale": sd["encoder.layer_norm.weight"],
+                       "bias": sd["encoder.layer_norm.bias"]}
+    return p

@@ -375,6 +375,51 @@ class WavLMEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def convert_hubert_fairseq(sd: Dict[str, Any], cfg: WavLMConfig) -> Dict[str, Any]:
+    """fairseq HubertModel checkpoint -> WavLMEncoder subtree.
+
+    The reference loads HuBERT through fairseq
+    (reference models/encoder.py:139-155); fairseq's state-dict schema
+    differs from HF's. Strategy: rename fairseq keys into the HF schema and
+    reuse the parity-tested ``convert_wavlm``. Accepts the raw torch
+    checkpoint dict ({'model': sd}) or the state dict itself."""
+    if "model" in sd and not any("." in k for k in list(sd)[:3] if isinstance(k, str)):
+        sd = sd["model"]
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v)
+          for k, v in sd.items()}
+
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith(("label_embs", "final_proj", "mask_emb")):
+            continue  # pretraining heads, not used by the encoder
+        nk = k
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, slot = parts[2], parts[3]
+            if slot == "0":
+                nk = f"feature_extractor.conv_layers.{i}.conv.{parts[-1]}"
+            elif slot == "2":
+                # group-norm mode: .2.{weight,bias}; layer-norm mode: .2.1.{...}
+                nk = f"feature_extractor.conv_layers.{i}.layer_norm.{parts[-1]}"
+        elif k == "layer_norm.weight":
+            nk = "feature_projection.layer_norm.weight"
+        elif k == "layer_norm.bias":
+            nk = "feature_projection.layer_norm.bias"
+        elif k.startswith("post_extract_proj."):
+            nk = k.replace("post_extract_proj.", "feature_projection.projection.")
+        elif k.startswith("encoder.pos_conv.0."):
+            nk = k.replace("encoder.pos_conv.0.", "encoder.pos_conv_embed.conv.")
+        elif k.startswith("encoder.layers."):
+            nk = (
+                k.replace(".self_attn.", ".attention.")
+                .replace(".self_attn_layer_norm.", ".layer_norm.")
+                .replace(".fc1.", ".feed_forward.intermediate_dense.")
+                .replace(".fc2.", ".feed_forward.output_dense.")
+            )
+        out[nk] = v
+    return convert_wavlm(out, cfg)
+
+
 def convert_wavlm(sd: Dict[str, np.ndarray], cfg: WavLMConfig) -> Dict[str, Any]:
     """HF WavLMModel/HubertModel state dict -> WavLMEncoder subtree."""
 

@@ -102,6 +102,56 @@ def test_hubert_style_parity(tmp_path, audio):
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
 
 
+def _hf_to_fairseq_schema(sd):
+    """Rename an HF Hubert state dict into the fairseq checkpoint schema
+    (reverse of the converter's mapping) to exercise convert_hubert_fairseq
+    against a real-format dict."""
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, kind = parts[2], parts[3]
+            slot = "0" if kind == "conv" else "2"
+            nk = f"feature_extractor.conv_layers.{i}.{slot}.{parts[-1]}"
+        elif k.startswith("feature_projection.layer_norm."):
+            nk = k.replace("feature_projection.layer_norm.", "layer_norm.")
+        elif k.startswith("feature_projection.projection."):
+            nk = k.replace("feature_projection.projection.", "post_extract_proj.")
+        elif k.startswith("encoder.pos_conv_embed.conv."):
+            nk = k.replace("encoder.pos_conv_embed.conv.", "encoder.pos_conv.0.")
+        elif k.startswith("encoder.layers."):
+            nk = (
+                k.replace(".attention.", ".self_attn.")
+                .replace(".layer_norm.", ".self_attn_layer_norm.")
+                .replace(".feed_forward.intermediate_dense.", ".fc1.")
+                .replace(".feed_forward.output_dense.", ".fc2.")
+            )
+        out[nk] = v
+    # checkpoints also carry pretraining heads the converter must skip
+    out["final_proj.weight"] = np.zeros((4, 32), np.float32)
+    out["label_embs_concat"] = np.zeros((10, 4), np.float32)
+    return out
+
+
+def test_hubert_fairseq_checkpoint_parity(tmp_path, audio):
+    """fairseq-format HuBERT state dict (reference models/encoder.py:139-155
+    loads these via fairseq) -> our encoder, vs HF reference output."""
+    from slam_llm_tpu.models.wavlm import convert_hubert_fairseq
+    from transformers import HubertConfig, HubertModel
+
+    torch.manual_seed(3)
+    hf = HubertModel(HubertConfig(**_tiny_hf_kwargs())).eval()
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(audio)).last_hidden_state.numpy()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    fairseq_sd = _hf_to_fairseq_schema(sd)
+    cfg = _our_tiny(rel_bias=False)
+    sub = convert_hubert_fairseq({"model": fairseq_sd}, cfg)
+    got, _ = _jax_forward(cfg, sub, audio)
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
 def test_feature_lengths_match_hf():
     from transformers import WavLMConfig as HFCfg, WavLMModel
 
