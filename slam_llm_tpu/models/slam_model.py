@@ -119,10 +119,14 @@ class SLAMModel(nn.Module):
             from slam_llm_tpu.models.avhubert import AVHubertEncoder
 
             self.encoder = AVHubertEncoder(c.encoder, name="encoder")
-        elif c.encoder_name in ("eat", "spatial_ast"):
+        elif c.encoder_name == "eat":
             from slam_llm_tpu.models.vit import ViTEncoder
 
             self.encoder = ViTEncoder(c.encoder, name="encoder")
+        elif c.encoder_name == "spatial_ast":
+            from slam_llm_tpu.models.spatial_ast import SpatialASTEncoder
+
+            self.encoder = SpatialASTEncoder(c.encoder, name="encoder")
         elif c.encoder_name is None:
             self.encoder = None
         else:
@@ -134,8 +138,11 @@ class SLAMModel(nn.Module):
         """Modality dispatch (reference models/slam_model.py:316-351) ->
         projected encoder states + post-encoder validity mask."""
         c = self.cfg
-        if c.encoder_name in ("whisper", "beats", "eat", "spatial_ast", "musicfm"):
+        if c.encoder_name in ("whisper", "beats", "eat", "musicfm"):
             enc, enc_mask = self.encoder(batch["audio_mel"], batch.get("audio_mel_mask"))
+        elif c.encoder_name == "spatial_ast":
+            # binaural 4-channel feature map from spatial_ast.binaural_features
+            enc, enc_mask = self.encoder(batch["audio_binaural"])
         elif c.encoder_name in ("wavlm", "hubert", "emotion2vec"):
             enc, enc_mask = self.encoder(batch["audio"], batch.get("audio_mask"))
         elif c.encoder_name == "av_hubert":
@@ -228,10 +235,16 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         from slam_llm_tpu.models.beats import BEATS_PRESETS
 
         enc_cfg = BEATS_PRESETS[mc.encoder_config or "beats-iter3"]()
-    elif mc.encoder_name in ("eat", "spatial_ast"):
+    elif mc.encoder_name == "eat":
         from slam_llm_tpu.models.vit import VIT_PRESETS
 
         enc_cfg = VIT_PRESETS[mc.encoder_config or "eat-base"]()
+    elif mc.encoder_name == "spatial_ast":
+        from slam_llm_tpu.models.spatial_ast import SpatialASTConfig
+
+        presets = {"spatialast-base": SpatialASTConfig.base,
+                   "spatialast-tiny-test": SpatialASTConfig.tiny_test}
+        enc_cfg = presets[mc.encoder_config or "spatialast-base"]()
     encoder_dim = enc_cfg.d_model if enc_cfg is not None else mc.encoder_dim
 
     # llm
