@@ -150,6 +150,17 @@ class DataConfig:
     audio_vocabsize: int = 4096
     num_latency_tokens: int = 0
     specaug: bool = False
+    # large-scale iterable pipeline (speech_dataset_large.py — aispeech_asr):
+    train_scp_file_path: Optional[str] = None
+    dev_scp_file_path: Optional[str] = None
+    pad_or_trim: bool = False
+    train_max_frame_length: int = 4096
+    eval_max_frame_length: int = 4096
+    append_info_tasks: List[str] = field(default_factory=lambda: ["hotword"])
+    # avhubert datasets: modality selection (audio | video | av)
+    modal: str = "av"
+    # e-chat dialog manifests (echat_dataset.py):
+    data_path: Optional[str] = None
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

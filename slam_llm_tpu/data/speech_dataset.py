@@ -110,7 +110,16 @@ class SpeechDatasetJsonl:
         if self.fix_length_audio > 0:
             audio_length = self.fix_length_audio
 
-        prompt_ids = self.tokenizer.encode(PROMPT_TEMPLATE.format(self.prompt))
+        # per-utterance keyword biasing (mala_asr / contextual_asr manifests
+        # carry a ``hotwords`` list; reference folds OCR/CTC-filtered words
+        # into the prompt)
+        prompt = self.prompt
+        hotwords = item.get("hotwords")
+        if hotwords:
+            words = " ".join(hotwords) if isinstance(hotwords, (list, tuple)) else str(hotwords)
+            prompt = f"{prompt} Use these possible keywords: {words}."
+
+        prompt_ids = self.tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
         prompt_length = len(prompt_ids)
         audio_pseudo = np.full((audio_length,), -1, dtype=np.int64)
 
@@ -127,7 +136,7 @@ class SpeechDatasetJsonl:
                 "target": target,
             }
 
-        example_ids = self.tokenizer.encode(PROMPT_TEMPLATE.format(self.prompt) + str(target))
+        example_ids = self.tokenizer.encode(PROMPT_TEMPLATE.format(prompt) + str(target))
         example_ids = list(example_ids) + [self.tokenizer.eos_token_id]
         example_ids = np.concatenate([audio_pseudo, np.asarray(example_ids, np.int64)])
         labels = example_ids.copy()

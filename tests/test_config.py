@@ -74,3 +74,55 @@ def test_set_by_path_none_default():
     cfg = RunConfig()
     set_by_path(cfg, "model_config.encoder_path", "/some/path")
     assert cfg.model_config.encoder_path == "/some/path"
+
+
+def test_all_example_configs_load():
+    """Every examples/<task>/conf/*.yaml must parse into a RunConfig
+    (round-1 verdict #7: 14/14 recipe dirs runnable-on-paper)."""
+    from pathlib import Path
+
+    from slam_llm_tpu.config import load_run_config
+
+    root = Path(__file__).resolve().parent.parent / "examples"
+    yamls = sorted(root.glob("*/conf/*.yaml"))
+    assert len(yamls) >= 14, [str(p) for p in yamls]
+    for y in yamls:
+        cfg = load_run_config(["--config", str(y)])
+        assert cfg.train_config.model_name, str(y)
+
+
+def test_hotword_prompt_injection(tmp_path):
+    """mala_asr / contextual_asr: per-utterance hotwords fold into the prompt."""
+    import json
+    import wave
+
+    import numpy as np
+
+    from slam_llm_tpu.data.speech_dataset import SpeechDatasetJsonl
+    from slam_llm_tpu.data.tokenizer import ByteTokenizer
+
+    sr = 16000
+    wav = tmp_path / "a.wav"
+    pcm = (np.sin(np.linspace(0, 100, 3200)) * 20000).astype(np.int16)
+    with wave.open(str(wav), "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    manifest = tmp_path / "m.jsonl"
+    manifest.write_text(
+        json.dumps({"key": "u1", "source": str(wav), "target": "hi",
+                    "hotwords": ["acme", "widget"]}) + "\n"
+        + json.dumps({"key": "u2", "source": str(wav), "target": "yo"}) + "\n"
+    )
+
+    class C:
+        train_data_path = str(manifest)
+        val_data_path = str(manifest)
+        mel_size = 8
+
+    ds = SpeechDatasetJsonl(C(), ByteTokenizer(), "train")
+    with_hw, without_hw = ds[0], ds[1]
+    assert with_hw["prompt_length"] > without_hw["prompt_length"]
+    extra = bytes(
+        i for i in with_hw["input_ids"][with_hw["audio_length"]:] if 0 <= i < 256
+    ).decode("utf-8", errors="ignore")
+    assert "acme" in extra and "widget" in extra
