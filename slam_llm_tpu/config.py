@@ -55,7 +55,7 @@ class ModelConfig:
 class PeftConfig:
     """Mirrors reference asr_config.py:34-43 (peft LoraConfig surface)."""
 
-    peft_method: str = "lora"
+    peft_method: str = "lora"  # lora | prefix | llama_adapter
     r: int = 8
     lora_alpha: int = 32
     target_modules: List[str] = field(default_factory=lambda: ["q_proj", "v_proj"])
@@ -63,6 +63,9 @@ class PeftConfig:
     task_type: str = "CAUSAL_LM"
     lora_dropout: float = 0.05
     inference_mode: bool = False
+    # prefix-tuning / llama-adapter knobs (reference config_utils.py:46-65)
+    num_virtual_tokens: int = 30
+    adapter_len: int = 10
 
 
 @dataclass
@@ -180,6 +183,12 @@ class LogConfig:
     wandb_exp_name: str = "exp"
     log_file: Optional[str] = None
     log_interval: int = 5
+    # write a jax.profiler trace of training steps [profile_start,
+    # profile_start+profile_steps) to this dir (SURVEY §5.1's TPU equivalent
+    # of torch.profiler; view with tensorboard/xprof)
+    profile_dir: Optional[str] = None
+    profile_start: int = 3
+    profile_steps: int = 5
 
 
 @dataclass

@@ -178,6 +178,10 @@ def mha_attention(
     """
     if use_pallas is None:
         use_pallas = bias is None and _should_use_pallas(q, k)
+        if causal and q.shape[1] != k.shape[1]:
+            # prefix-tuning prepends virtual KV slots: causal with Tq != Tk is
+            # end-aligned, which only the XLA path implements
+            use_pallas = False
     if use_pallas:
         from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 

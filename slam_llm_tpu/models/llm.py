@@ -18,6 +18,7 @@ requirement) and single-token decode steps.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -51,11 +52,15 @@ class LLMConfig:
     tied_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    # LoRA
+    # PEFT (reference utils/config_utils.py:46-65 maps lora /
+    # prefix-tuning / llama-adapter(adaption prompt) peft configs)
+    peft_method: str = "lora"  # lora | prefix | adaption_prompt | none
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
     lora_targets: Tuple[str, ...] = ("q_proj", "v_proj")
+    prefix_tokens: int = 30  # prefix-tuning virtual KV slots per layer
+    adaption_prompt_len: int = 10  # llama-adapter prompt tokens per layer
     # compile strategy
     scan_layers: bool = True
     remat: bool = True
@@ -140,12 +145,12 @@ class Attention(nn.Module):
     ):
         c = self.cfg
         b, t, _ = x.shape
-        q = self._dense("q_proj", c.n_heads * c.head_dim)(x, deterministic)
-        k = self._dense("k_proj", c.n_kv_heads * c.head_dim)(x, deterministic)
-        v = self._dense("v_proj", c.n_kv_heads * c.head_dim)(x, deterministic)
-        q = q.reshape(b, t, c.n_heads, c.head_dim)
-        k = k.reshape(b, t, c.n_kv_heads, c.head_dim)
-        v = v.reshape(b, t, c.n_kv_heads, c.head_dim)
+        q_proj = self._dense("q_proj", c.n_heads * c.head_dim)
+        k_proj = self._dense("k_proj", c.n_kv_heads * c.head_dim)
+        v_proj = self._dense("v_proj", c.n_kv_heads * c.head_dim)
+        q = q_proj(x, deterministic).reshape(b, t, c.n_heads, c.head_dim)
+        k = k_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
+        v = v_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
         q = apply_rope(q, positions, c.rope_theta)
         k = apply_rope(k, positions, c.rope_theta)
 
@@ -160,12 +165,68 @@ class Attention(nn.Module):
             k, v = cache_k, cache_v
             new_cache = (cache_k, cache_v)
 
+        if c.peft_method == "prefix" and c.prefix_tokens > 0:
+            # prefix tuning: learnable post-RoPE KV slots prepended per layer
+            # (reference peft PrefixTuning via config_utils.py:46-65); the
+            # slots are attendable by every query (end-aligned causal)
+            p = c.prefix_tokens
+            pk = self.param(
+                "prefix_k", nn.initializers.normal(0.02),
+                (p, c.n_kv_heads, c.head_dim), c.param_dtype,
+            )
+            pv = self.param(
+                "prefix_v", nn.initializers.normal(0.02),
+                (p, c.n_kv_heads, c.head_dim), c.param_dtype,
+            )
+            k = jnp.concatenate(
+                [jnp.broadcast_to(pk.astype(k.dtype)[None], (b, p, c.n_kv_heads, c.head_dim)), k], 1
+            )
+            v = jnp.concatenate(
+                [jnp.broadcast_to(pv.astype(v.dtype)[None], (b, p, c.n_kv_heads, c.head_dim)), v], 1
+            )
+            if kv_mask is not None:
+                kv_mask = jnp.concatenate([jnp.ones((b, p), kv_mask.dtype), kv_mask], 1)
+            if bias is not None:
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (p, 0)))
+
         # no-cache training path carries a structured (kv_mask, causal) mask
         # that lowers to the Pallas flash kernel on TPU
         out = mha_attention(
             q, k.astype(q.dtype), v.astype(q.dtype),
             bias=bias, kv_mask=kv_mask, causal=bias is None,
         )
+
+        if c.peft_method == "adaption_prompt" and c.adaption_prompt_len > 0:
+            # llama-adapter: per-layer learnable prompt, zero-init tanh gate
+            # on a separate (non-causal) attention over the prompt KV
+            p = c.adaption_prompt_len
+            prompt = self.param(
+                "adaption_prompt", nn.initializers.normal(0.02),
+                (p, c.d_model), c.param_dtype,
+            )
+            gate = self.param(
+                "adaption_gate", nn.initializers.zeros_init(), (c.n_heads,), c.param_dtype
+            )
+            pk = k_proj(prompt[None].astype(x.dtype), deterministic).reshape(
+                1, p, c.n_kv_heads, c.head_dim
+            )
+            pv = v_proj(prompt[None].astype(x.dtype), deterministic).reshape(
+                1, p, c.n_kv_heads, c.head_dim
+            )
+            groups = c.n_heads // c.n_kv_heads
+            qg = q.reshape(b, t, c.n_kv_heads, groups, c.head_dim)
+            scores = jnp.einsum(
+                "bqhgd,bkhd->bhgqk", qg, jnp.broadcast_to(pk, (b, p, c.n_kv_heads, c.head_dim)),
+                preferred_element_type=jnp.float32,
+            ) / math.sqrt(c.head_dim)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            pout = jnp.einsum(
+                "bhgqk,bkhd->bqhgd", probs,
+                jnp.broadcast_to(pv, (b, p, c.n_kv_heads, c.head_dim)),
+            ).reshape(b, t, c.n_heads, c.head_dim)
+            g = jnp.tanh(gate.astype(jnp.float32)).astype(out.dtype)
+            out = out + g[None, None, :, None] * pout
+
         out = out.reshape(b, t, c.n_heads * c.head_dim)
         out = self._dense("o_proj", c.d_model)(out, deterministic)
         return out, new_cache

@@ -257,15 +257,38 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
     llm_cfg = llm_presets.get(mc.llm_name, LLMConfig.tinyllama_1_1b)()
     if tc.use_peft:
         pc = tc.peft_config
-        llm_cfg = LLMConfig(
-            **{
-                **llm_cfg.__dict__,
-                "lora_rank": pc.r,
-                "lora_alpha": float(pc.lora_alpha),
-                "lora_dropout": pc.lora_dropout,
-                "lora_targets": tuple(pc.target_modules),
-            }
-        )
+        method = getattr(pc, "peft_method", "lora")
+        if method == "lora":
+            llm_cfg = LLMConfig(
+                **{
+                    **llm_cfg.__dict__,
+                    "peft_method": "lora",
+                    "lora_rank": pc.r,
+                    "lora_alpha": float(pc.lora_alpha),
+                    "lora_dropout": pc.lora_dropout,
+                    "lora_targets": tuple(pc.target_modules),
+                }
+            )
+        elif method in ("prefix", "prefix_tuning"):
+            llm_cfg = LLMConfig(
+                **{
+                    **llm_cfg.__dict__,
+                    "peft_method": "prefix",
+                    "lora_rank": 0,
+                    "prefix_tokens": getattr(pc, "num_virtual_tokens", 30),
+                }
+            )
+        elif method in ("llama_adapter", "adaption_prompt"):
+            llm_cfg = LLMConfig(
+                **{
+                    **llm_cfg.__dict__,
+                    "peft_method": "adaption_prompt",
+                    "lora_rank": 0,
+                    "adaption_prompt_len": getattr(pc, "adapter_len", 10),
+                }
+            )
+        else:
+            raise ValueError(f"unknown peft_method: {method}")
     llm_cfg = LLMConfig(
         **{
             **llm_cfg.__dict__,

@@ -63,6 +63,13 @@ def train(
     step = int(state["step"])
     log_interval = getattr(tc, "log_interval", 5)
 
+    # jax.profiler window (SURVEY §5.1): trace steps [start, start+n)
+    profile_dir = getattr(log_config, "profile_dir", None) if log_config else None
+    profile_start = int(getattr(log_config, "profile_start", 3) or 3)
+    profile_steps = int(getattr(log_config, "profile_steps", 5) or 5)
+    profiling = False
+    steps_seen = 0
+
     for epoch in range(tc.num_epochs):
         with MemoryTrace() as mem:
             t_epoch = time.perf_counter()
@@ -71,11 +78,20 @@ def train(
             step_times = []
             epoch_steps = 0
             for batch in train_loader:
+                if profile_dir is not None:
+                    if steps_seen == profile_start and not profiling:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif profiling and steps_seen == profile_start + profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.logger.info("wrote jax.profiler trace to %s", profile_dir)
                 rng, sub = jax.random.split(rng)
                 t0 = time.perf_counter()
                 with trainer.mesh:
                     state, metrics = trainer.train_step(state, trainer.put_batch(batch), sub)
                 step += 1
+                steps_seen += 1
                 if step % log_interval == 0:
                     # blocks on device only when we actually log
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -101,6 +117,9 @@ def train(
                     break
             results["epoch_times"].append(time.perf_counter() - t_epoch)
             logger.logger.info("epoch %d done: %s", epoch, mem.stats())
+
+    if profiling:  # loop ended inside the trace window
+        jax.profiler.stop_trace()
 
     # end-of-training validation + final save
     if tc.run_validation and eval_loader is not None:

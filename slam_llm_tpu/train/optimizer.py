@@ -39,6 +39,10 @@ def param_label(path_s: str, slam_cfg) -> str:
         return "train"
     if "lora_a" in path_s or "lora_b" in path_s:
         return "train"
+    if "prefix_k" in path_s or "prefix_v" in path_s:
+        return "train"  # prefix-tuning virtual KV
+    if "adaption_prompt" in path_s or "adaption_gate" in path_s:
+        return "train"  # llama-adapter prompt + gate
     if path_s.startswith("encoder/") or "/encoder/" in path_s or path_s.startswith("params/encoder"):
         return "freeze" if slam_cfg.freeze_encoder else "train"
     if path_s.startswith("llm/") or "/llm/" in path_s or path_s.startswith("params/llm"):
