@@ -157,6 +157,11 @@ class SLAMModel(nn.Module):
 
         if c.projector == "q-former":
             proj = self.encoder_projector(enc, enc_mask)
+            # DELIBERATE: all query slots stay attendable even for fully
+            # padded inputs — the learned queries cross-attend the (masked)
+            # encoder states, so their outputs are well-defined; this matches
+            # the reference, whose QFormer output is spliced with a fixed
+            # query_len and never masked (models/slam_model.py:354-359).
             proj_mask = jnp.ones(proj.shape[:2], jnp.int32)
         else:
             proj = self.encoder_projector(enc)
