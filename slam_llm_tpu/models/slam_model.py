@@ -127,6 +127,13 @@ class SLAMModel(nn.Module):
             from slam_llm_tpu.models.spatial_ast import SpatialASTEncoder
 
             self.encoder = SpatialASTEncoder(c.encoder, name="encoder")
+        elif c.encoder_name == "hf-text":
+            # text-modality encoder (reference models/encoder.py:156-162
+            # HfTextEncoder via AutoModel — BERT family); batch carries
+            # pre-tokenized text_input_ids/text_input_mask
+            from slam_llm_tpu.models.bert import BertEncoder
+
+            self.encoder = BertEncoder(c.encoder, name="encoder")
         elif c.encoder_name is None:
             self.encoder = None
         else:
@@ -149,6 +156,9 @@ class SLAMModel(nn.Module):
             enc, enc_mask = self.encoder(
                 batch.get("visual"), batch.get("audio_feats"), batch.get("visual_mask")
             )
+        elif c.encoder_name == "hf-text":
+            enc_mask = batch["text_input_mask"]
+            enc = self.encoder(batch["text_input_ids"], enc_mask)
         else:
             enc = batch.get("audio_mel", batch.get("audio"))
             enc_mask = batch.get("audio_mel_mask")
@@ -250,6 +260,12 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         presets = {"spatialast-base": SpatialASTConfig.base,
                    "spatialast-tiny-test": SpatialASTConfig.tiny_test}
         enc_cfg = presets[mc.encoder_config or "spatialast-base"]()
+    elif mc.encoder_name == "hf-text":
+        from slam_llm_tpu.models.bert import BertConfig
+
+        presets = {"bert-base-uncased": BertConfig.base_uncased,
+                   "bert-tiny-test": BertConfig.tiny_test}
+        enc_cfg = presets[mc.encoder_config or "bert-base-uncased"]()
     encoder_dim = enc_cfg.d_model if enc_cfg is not None else mc.encoder_dim
 
     # llm
