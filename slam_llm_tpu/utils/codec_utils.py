@@ -76,12 +76,13 @@ def cosyvoice_group_to_stream(streams: np.ndarray) -> np.ndarray:
 
 @dataclass
 class CodecDecoder:
-    """SNAC / CosyVoice vocoder front door.
+    """SNAC / CosyVoice vocoder front door — both decode NATIVELY in JAX.
 
-    SNAC decodes NATIVELY in JAX (models/snac.py — from-scratch port of the
-    published decoder graph; load real weights via ``from_snac_checkpoint``).
-    CosyVoice's flow-matching vocoder still goes through ``decode_fn``
-    (reference examples/s2s/utils/codec_utils.py:48-116 — round-3 item).
+    SNAC: models/snac.py (from-scratch port of the published decoder graph;
+    load real weights via ``from_snac_checkpoint``). CosyVoice: token ->
+    flow-matching mel (models/cosyvoice_flow.py) -> HiFT-GAN waveform
+    (models/hift.py); load via ``from_cosyvoice_checkpoint``. ``decode_fn``
+    remains as an escape hatch for external vocoders.
     """
 
     codec_type: str = "snac"  # snac | cosyvoice
@@ -89,6 +90,11 @@ class CodecDecoder:
     sample_rate: int = 24000
     snac_params: Optional[dict] = None
     snac_cfg: Optional[object] = None
+    flow_params: Optional[dict] = None
+    flow_cfg: Optional[object] = None
+    hift_params: Optional[dict] = None
+    hift_cfg: Optional[object] = None
+    spk_embedding: Optional[np.ndarray] = None
 
     @staticmethod
     def from_snac_checkpoint(path: str) -> "CodecDecoder":
@@ -108,6 +114,34 @@ class CodecDecoder:
             sample_rate=cfg.sampling_rate,
         )
 
+    @staticmethod
+    def from_cosyvoice_checkpoint(
+        flow_path: str, hift_path: str, spk_embedding: Optional[np.ndarray] = None
+    ) -> "CodecDecoder":
+        """Load CosyVoice flow.pt + hift.pt natively (reference
+        cli/model.py token2wav path). ``spk_embedding``: (1, 192) x-vector;
+        defaults to zeros (reference uses a stock speaker from spk2info)."""
+        import torch
+
+        from slam_llm_tpu.models.cosyvoice_flow import (
+            FlowConfig,
+            convert_cosyvoice_flow_state,
+        )
+        from slam_llm_tpu.models.hift import HiFTConfig, convert_hift_torch_state
+
+        fsd = torch.load(flow_path, map_location="cpu", weights_only=True)
+        hsd = torch.load(hift_path, map_location="cpu", weights_only=True)
+        fsd = fsd.get("model", fsd) if isinstance(fsd, dict) else fsd
+        hsd = hsd.get("generator", hsd.get("model", hsd)) if isinstance(hsd, dict) else hsd
+        fcfg, hcfg = FlowConfig(), HiFTConfig()
+        return CodecDecoder(
+            codec_type="cosyvoice",
+            flow_params=convert_cosyvoice_flow_state(fsd, fcfg), flow_cfg=fcfg,
+            hift_params=convert_hift_torch_state(hsd, hcfg), hift_cfg=hcfg,
+            sample_rate=hcfg.sampling_rate,
+            spk_embedding=spk_embedding,
+        )
+
     def decode(self, streams: np.ndarray) -> np.ndarray:
         """Staggered generated streams (L, T) -> waveform float32 (samples,)."""
         if self.codec_type == "snac":
@@ -124,6 +158,30 @@ class CodecDecoder:
                 "no vocoder attached: use CodecDecoder.from_snac_checkpoint(path) "
                 "or construct with snac_params/decode_fn"
             )
+        # CosyVoice: grouped streams -> flat tokens -> flow mel -> HiFT wav
+        tokens = cosyvoice_group_to_stream(streams)
+        if self.flow_params is not None:
+            import jax
+
+            from slam_llm_tpu.models.cosyvoice_flow import flow_token2mel
+            from slam_llm_tpu.models.hift import hift_decode
+
+            fcfg = self.flow_cfg
+            tokens = np.asarray(tokens)
+            tokens = tokens[tokens < fcfg.vocab_size][None]  # strip eoa/pad ids
+            spk = (
+                self.spk_embedding
+                if self.spk_embedding is not None
+                else np.zeros((1, fcfg.spk_embed_dim), np.float32)
+            )
+            mel = flow_token2mel(self.flow_params, tokens, spk, fcfg,
+                                 rng=jax.random.PRNGKey(0))
+            wav = hift_decode(self.hift_params, mel, self.hift_cfg,
+                              rng=jax.random.PRNGKey(1))
+            return np.asarray(wav[0])
         if self.decode_fn is None:
-            raise RuntimeError("CosyVoice decoding needs decode_fn (external flow vocoder)")
-        return np.asarray(self.decode_fn(cosyvoice_group_to_stream(streams)))
+            raise RuntimeError(
+                "CosyVoice decoding: use CodecDecoder.from_cosyvoice_checkpoint("
+                "flow_path, hift_path) or attach decode_fn"
+            )
+        return np.asarray(self.decode_fn(tokens))
