@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
+
 from helpers import make_corpus
 from slam_llm_tpu.config import RunConfig
 from slam_llm_tpu.data.audio_dataset import get_audio_dataset

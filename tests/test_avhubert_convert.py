@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import torch
 import torch.nn as nn
 

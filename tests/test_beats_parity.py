@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import torch
 
 REF = "/root/reference/src/slam_llm/models/BEATs"

@@ -1,5 +1,8 @@
 """BERT tower parity vs transformers.BertModel (tiny random config)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import numpy as np
 import torch
 

@@ -9,6 +9,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
+
 from slam_llm_tpu.models.llm import CausalLM, LLMConfig
 from slam_llm_tpu.utils.checkpoint import (
     load_trainable_into,

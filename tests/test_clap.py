@@ -50,6 +50,7 @@ def test_embeddings_normalized(clap_setup):
     assert za.shape == (4, cfg.embed_dim)
 
 
+@pytest.mark.slow
 def test_ase_checkpoint_conversion_parity():
     """Build a torch ASE with the reference key schema (HTSAT audio tower +
     HF BERT text tower + Sequential projections), convert, compare

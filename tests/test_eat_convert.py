@@ -2,6 +2,9 @@
 data2vec2/EAT key schema (modality_encoders.IMAGE.local_encoder.proj,
 blocks.N.attn.qkv fused, top-level norm) vs our ViTEncoder."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import dataclasses
 
 import jax

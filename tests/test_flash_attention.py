@@ -56,7 +56,10 @@ def test_flash_left_padding():
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("t", [128, 200, 448])
+@pytest.mark.parametrize(
+    "t",
+    [128, pytest.param(200, marks=pytest.mark.slow), pytest.param(448, marks=pytest.mark.slow)],
+)
 def test_flash_gradients_match(causal, t):
     """Pallas tiled backward (dq + dk/dv kernels) vs XLA autodiff reference,
     including non-128-multiple lengths (padding) and left-padded keys."""

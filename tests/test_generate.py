@@ -97,6 +97,7 @@ def test_greedy_matches_full_forward(setup):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_beam1_equals_greedy(setup):
     cfg, model, params, batch = setup
     g1 = Generator(model, GenerationConfig(num_beams=1, eos_token_id=-2, pad_token_id=0))
@@ -108,6 +109,7 @@ def test_beam1_equals_greedy(setup):
     np.testing.assert_array_equal(greedy, np.asarray(beam))
 
 
+@pytest.mark.slow
 def test_beam_scores_not_worse_than_greedy(setup):
     """Beam-4 sequence logprob must be >= greedy sequence logprob."""
     cfg, model, params, batch = setup

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import torch
 
 from slam_llm_tpu.models.llm import CausalLM, LLMConfig

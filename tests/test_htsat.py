@@ -8,6 +8,8 @@ import math
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import torch
 import torch.nn as nn
 

@@ -1,5 +1,6 @@
 """Small parity utilities: PPL, safety, chat templates, text/vallex datasets."""
 
+import pytest
 import json
 
 import jax
@@ -31,6 +32,7 @@ def test_chat_templates():
     assert v.endswith("ASSISTANT:") and "USER: Hi" in v
 
 
+@pytest.mark.slow
 def test_ppl_scorer():
     from slam_llm_tpu.models.llm import CausalLM, LLMConfig
     from slam_llm_tpu.utils.ppl import ppl_of_texts

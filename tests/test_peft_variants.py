@@ -59,6 +59,7 @@ def test_adaption_params_trainable_only():
     assert n_train == expect, (n_train, expect)
 
 
+@pytest.mark.slow
 def test_adaption_zero_gate_is_noop():
     """Zero-init gates -> identical logits to the base model."""
     base = dataclasses.replace(LLMConfig.tiny_test(), remat=False, lora_rank=0)
@@ -78,6 +79,7 @@ def test_adaption_zero_gate_is_noop():
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_prefix_changes_logits_and_attends():
     base = dataclasses.replace(LLMConfig.tiny_test(), remat=False, lora_rank=0)
     pref = dataclasses.replace(base, peft_method="prefix", prefix_tokens=4)

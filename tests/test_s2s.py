@@ -159,6 +159,7 @@ def test_s2s_forward_loss(s2s_model):
     assert np.isfinite(np.asarray(out["audio_loss"])).all()
 
 
+@pytest.mark.slow
 def test_s2s_group_decode_adapter(s2s_corpus):
     v = VocabConfig.tiny_test()
     cfg = S2SConfig(
@@ -225,6 +226,7 @@ def test_stream_generate_matches_batch(s2s_model):
     np.testing.assert_array_equal(text, full[:, v.code_layer, :n])
 
 
+@pytest.mark.slow
 def test_s2s_generate_to_waveform(s2s_corpus):
     """E2E audio out (round-1 missing #1): generate tokens with a 7-layer
     S2S model, un-stagger to SNAC codebooks, decode NATIVELY with the JAX

@@ -69,6 +69,7 @@ def test_partition_merge_roundtrip(slam_cfg):
     assert jax.tree_util.tree_structure(merged) == jax.tree_util.tree_structure(params)
 
 
+@pytest.mark.slow
 def test_train_loss_decreases_on_mesh(slam_cfg):
     """8-device (dp=4, fsdp=2) mesh; overfit one synthetic batch.
 
@@ -99,6 +100,7 @@ def test_train_loss_decreases_on_mesh(slam_cfg):
     assert int(state["step"]) == 30
 
 
+@pytest.mark.slow
 def test_frozen_params_unchanged(slam_cfg):
     mesh = make_mesh(dp=8, fsdp=1, tp=1)
     model = SLAMModel(slam_cfg)

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
+
 from slam_llm_tpu.models.vallex import VALLE, VallexConfig
 
 

@@ -1,5 +1,8 @@
 """Raw-audio (wavlm/hubert) path through the fusion model + trainer."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight parity/e2e (run with -m slow)
 import dataclasses
 
 import jax
