@@ -43,5 +43,10 @@ def model_factory(train_config, model_config, **kwargs):
         group_decode=getattr(model_config, "group_decode", vocab.code_layer > 1),
         freeze_encoder=train_config.freeze_encoder,
         freeze_llm=train_config.freeze_llm,
+        tts_adapter=getattr(model_config, "tts_adapter", False),
+        tts_adapter_layers=getattr(model_config, "tts_adapter_layers", 6),
+        train_embed_only=getattr(train_config, "train_embed_only", False),
+        train_audio_embed_only=getattr(train_config, "train_audio_embed_only", False),
+        train_embed=getattr(train_config, "train_embed", False),
     )
     return S2SModel(cfg), tokenizer

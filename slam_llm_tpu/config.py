@@ -46,6 +46,9 @@ class ModelConfig:
     encoder_type: str = "finetune"
     qformer_layers: int = 8
     query_len: int = 64
+    # S2S TTS adapter (reference s2s_config.py:93-94)
+    tts_adapter: bool = False
+    tts_adapter_layers: int = 6
     # TPU-specific:
     dtype: str = "bfloat16"  # compute dtype
     param_dtype: str = "float32"  # master params
@@ -106,6 +109,10 @@ class TrainConfig:
     seed: int = 42
     val_batch_size: int = 1
     use_peft: bool = False
+    # S2S partial-embedding tricks (reference examples/s2s/s2s_config.py:159-161)
+    train_embed_only: bool = False
+    train_audio_embed_only: bool = False
+    train_embed: bool = False
     peft_config: PeftConfig = field(default_factory=PeftConfig)
     output_dir: str = "/tmp/slam_tpu_out"
     save_model: bool = True

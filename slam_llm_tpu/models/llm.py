@@ -398,6 +398,22 @@ class CausalLM(nn.Module):
             logits = self.lm_head(x)
         return logits.astype(jnp.float32)
 
+    def trunk(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, T, D)
+        attention_mask: jnp.ndarray,  # (B, T)
+        positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Decoder stack + final norm WITHOUT the head — adapters (e.g. the
+        S2S TTS adapter) consume these hidden states."""
+        if positions is None:
+            positions = _positions_from_mask(attention_mask)
+        # structured (kv_mask, causal) masking — Pallas flash path on TPU
+        x = inputs_embeds.astype(self.cfg.dtype)
+        x, _ = self.decoder(x, None, positions, None, None, deterministic, attention_mask)
+        return self.final_norm(x)
+
     def __call__(
         self,
         inputs_embeds: jnp.ndarray,  # (B, T, D)
@@ -405,13 +421,7 @@ class CausalLM(nn.Module):
         positions: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        if positions is None:
-            positions = _positions_from_mask(attention_mask)
-        # structured (kv_mask, causal) masking — Pallas flash path on TPU
-        x = inputs_embeds.astype(self.cfg.dtype)
-        x, _ = self.decoder(x, None, positions, None, None, deterministic, attention_mask)
-        x = self.final_norm(x)
-        return self._head(x)
+        return self._head(self.trunk(inputs_embeds, attention_mask, positions, deterministic))
 
     def prefill(
         self,

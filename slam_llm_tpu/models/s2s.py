@@ -133,6 +133,21 @@ class S2SConfig:
     freeze_encoder: bool = True
     freeze_llm: bool = False
     task_type: str = "s2s"  # s2s | asr | tts
+    # TTS adapter (reference utils/tts_adapter_utils.py:15-28): extra decoder
+    # blocks over the LLM hidden states feeding a dedicated audio head. The
+    # reference constructs but never applies it in forward; here it is wired
+    # into the training forward (audio logits = head(ln(blocks(h)))).
+    # Adapter width follows the LLM (its input is the LLM hidden state).
+    tts_adapter: bool = False
+    tts_adapter_layers: int = 6
+    # partial-embedding training tricks (reference utils/trick_utils.py:7-35):
+    # train_embed_only  -> ONLY the lm_head is trainable;
+    # train_audio_embed_only -> lm_head only + gradients masked to the
+    #   extended audio vocab rows [padded_text_vocabsize, total_vocabsize);
+    # train_embed -> lm_head trainable in addition to the usual policy.
+    train_embed_only: bool = False
+    train_audio_embed_only: bool = False
+    train_embed: bool = False
 
 
 class GroupDecodeAdapter(nn.Module):
@@ -189,6 +204,29 @@ class S2SModel(nn.Module):
             )
         else:
             self.group_decode_adapter = None
+        if c.tts_adapter:
+            from slam_llm_tpu.models.layers import RMSNorm
+            from slam_llm_tpu.models.llm import DecoderLayer
+
+            adapter_cfg = dataclasses.replace(
+                llm_cfg, n_layers=c.tts_adapter_layers, lora_rank=0, remat=False
+            )
+            self.tts_adapter_blocks = [
+                DecoderLayer(adapter_cfg, name=f"tts_adapter_{i}")
+                for i in range(c.tts_adapter_layers)
+            ]
+            self.tts_adapter_ln = RMSNorm(
+                dtype=c.llm.dtype, param_dtype=c.llm.param_dtype, name="tts_adapter_ln"
+            )
+            from slam_llm_tpu.models.layers import DenseGeneralLora
+
+            self.tts_adapter_head = DenseGeneralLora(
+                features=v.total_audio_vocabsize, use_bias=False,
+                dtype=c.llm.dtype, param_dtype=c.llm.param_dtype,
+                kernel_axes=("embed", "vocab"), name="tts_adapter_head",
+            )
+        else:
+            self.tts_adapter_blocks = None
 
     # ---- embedding of (code_layer + 1) parallel streams ------------------
 
@@ -252,8 +290,28 @@ class S2SModel(nn.Module):
         c = self.cfg
         v = c.vocab
         embeds, attention_mask = self.forward_embeds(batch)
-        logits = self.llm(embeds, attention_mask, deterministic=deterministic)
-        xt, xa = self.split_logits(logits)
+        if c.tts_adapter:
+            from slam_llm_tpu.models.llm import _positions_from_mask
+
+            h = self.llm.trunk(embeds, attention_mask, deterministic=deterministic)
+            logits = self.llm._head(h)
+            xt = logits[..., : v.padded_text_vocabsize]
+            pos = _positions_from_mask(attention_mask)
+            ha = h
+            for blk in self.tts_adapter_blocks:
+                ha, _ = blk(ha, None, pos, deterministic=deterministic,
+                            kv_mask=attention_mask)
+            audio_flat = self.tts_adapter_head(self.tts_adapter_ln(ha)).astype(jnp.float32)
+            xa = jnp.stack(
+                [
+                    audio_flat[..., i * v.padded_audio_vocabsize : (i + 1) * v.padded_audio_vocabsize]
+                    for i in range(v.code_layer)
+                ],
+                axis=0,
+            )
+        else:
+            logits = self.llm(embeds, attention_mask, deterministic=deterministic)
+            xt, xa = self.split_logits(logits)
 
         labels = batch["labels"]  # (B, L+1, T)
         text_labels = labels[:, v.code_layer]
@@ -291,6 +349,8 @@ class S2SModel(nn.Module):
         }
 
     def init_all(self, batch: Dict[str, jnp.ndarray]):
+        if self.cfg.tts_adapter:
+            return self(batch)  # the training forward touches the adapter
         embeds, attention_mask = self.forward_embeds(batch)
         logits = self.llm(embeds, attention_mask)
         return self.split_logits(logits)

@@ -35,6 +35,14 @@ def param_label(path_s: str, slam_cfg) -> str:
       * llm/*                -> freeze iff cfg.freeze_llm
       * anything else        -> train
     """
+    # partial-embedding training tricks (reference utils/trick_utils.py):
+    # train_embed_only / train_audio_embed_only -> ONLY the lm_head trains
+    if getattr(slam_cfg, "train_embed_only", False) or getattr(
+        slam_cfg, "train_audio_embed_only", False
+    ):
+        return "train" if "lm_head" in path_s else "freeze"
+    if getattr(slam_cfg, "train_embed", False) and "lm_head" in path_s:
+        return "train"
     if "encoder_projector" in path_s:
         return "train"
     if "lora_a" in path_s or "lora_b" in path_s:
@@ -180,3 +188,37 @@ def make_optimizer(train_config) -> Tuple[optax.GradientTransformation, Callable
     if tc.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=tc.gradient_accumulation_steps)
     return tx, sched
+
+
+def partial_embed_grad_mask(start: int, end: int):
+    """Optax transform zeroing lm_head / embedding gradients OUTSIDE the
+    vocab range [start, end) — the JAX equivalent of the reference's
+    gradient-zeroing hook (utils/trick_utils.py:14-18) for training only the
+    extended audio rows of the head.
+
+    lm_head kernels are (d_model, vocab): mask the LAST axis; embedding
+    tables are (vocab, d_model): mask the FIRST axis."""
+    import optax
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def mask(path, g):
+            s = _path_str(path)
+            if g is None or g.ndim != 2:
+                return g
+            if "lm_head" in s and g.shape[1] >= end:
+                keep = (jnp.arange(g.shape[1]) >= start) & (jnp.arange(g.shape[1]) < end)
+                return g * keep[None, :].astype(g.dtype)
+            if ("embed_tokens" in s or "embedding" in s) and g.shape[0] >= end:
+                keep = (jnp.arange(g.shape[0]) >= start) & (jnp.arange(g.shape[0]) < end)
+                return g * keep[:, None].astype(g.dtype)
+            return g
+
+        updates = jax.tree_util.tree_map_with_path(
+            mask, updates, is_leaf=lambda x: x is None
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -202,6 +202,14 @@ class Trainer:
 
 def build_trainer(model, slam_cfg, train_config, mesh) -> Trainer:
     tx, sched = make_optimizer(train_config)
+    if getattr(slam_cfg, "train_audio_embed_only", False):
+        # mask head gradients to the extended audio vocab rows
+        import optax
+
+        from slam_llm_tpu.train.optimizer import partial_embed_grad_mask
+
+        v = slam_cfg.vocab
+        tx = optax.chain(tx, partial_embed_grad_mask(v.padded_text_vocabsize, v.total_vocabsize))
     t = Trainer(
         model=model, slam_cfg=slam_cfg, train_config=train_config, mesh=mesh,
         tx=tx, sched=sched,
