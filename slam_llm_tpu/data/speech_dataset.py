@@ -118,6 +118,12 @@ class SpeechDatasetJsonl:
         if hotwords:
             words = " ".join(hotwords) if isinstance(hotwords, (list, tuple)) else str(hotwords)
             prompt = f"{prompt} Use these possible keywords: {words}."
+        # DRCap RAG: retrieved similar captions folded into the prompt
+        # (reference examples/drcap_zeroshot_aac dataset rag path)
+        sims = item.get("similar_captions")
+        if sims:
+            joined = "; ".join(str(s) for s in sims)
+            prompt = f"{prompt} Similar captions for reference: {joined}."
 
         prompt_ids = self.tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
         prompt_length = len(prompt_ids)

@@ -92,3 +92,82 @@ def test_vallex_dataset(tmp_path):
     assert batch["audio_ids"].shape[2] in (128, 256, 512, 1024)
     assert ((1 <= batch["nar_stage"]) & (batch["nar_stage"] < 8)).all()
     assert batch["audio_mask"][0].sum() == 10 and batch["audio_mask"][1].sum() == 20
+
+
+def test_drcap_projection_and_retrieval(tmp_path):
+    """DRCap projection decoding + RAG retrieval + manifest augmentation."""
+    from slam_llm_tpu.utils.drcap import (
+        augment_manifest_with_rag,
+        load_support,
+        projection_decode,
+        retrieve_topk,
+        save_support,
+    )
+
+    rng = np.random.default_rng(0)
+    captions = [f"caption {i}" for i in range(6)]
+    support = rng.standard_normal((6, 4)).astype(np.float32)
+    support /= np.linalg.norm(support, axis=1, keepdims=True)
+
+    # projection decode: a latent equal to a support row w/ tiny temp -> ~row
+    z = support[2:3]
+    proj = projection_decode(z, support, temp=0.01)
+    np.testing.assert_allclose(proj[0], support[2], atol=1e-3)
+    # high temp -> close to the support mean
+    proj_hi = projection_decode(z, support, temp=1e6)
+    np.testing.assert_allclose(proj_hi[0], support.mean(0), atol=1e-4)
+
+    top = retrieve_topk(z, support, captions, k=2, exclude_self=True)
+    assert len(top[0]) == 2 and "caption 2" not in top[0]
+
+    # manifest augmentation with a fake embed_fn
+    m_in = tmp_path / "in.jsonl"
+    m_in.write_text(
+        json.dumps({"key": "a", "target": "caption 0"}) + "\n"
+        + json.dumps({"key": "b", "target": "caption 3"}) + "\n"
+    )
+    lut = {c: support[i] for i, c in enumerate(captions)}
+    n = augment_manifest_with_rag(
+        str(m_in), str(tmp_path / "out.jsonl"), captions, support,
+        embed_fn=lambda ts: np.stack([lut[t] for t in ts]), k=2,
+    )
+    assert n == 2
+    rows = [json.loads(l) for l in open(tmp_path / "out.jsonl")]
+    assert all(len(r["similar_captions"]) == 2 for r in rows)
+    assert "caption 0" not in rows[0]["similar_captions"]  # self excluded
+
+    save_support(str(tmp_path / "sup.npz"), captions, support)
+    caps2, emb2 = load_support(str(tmp_path / "sup.npz"))
+    assert caps2 == captions
+    np.testing.assert_allclose(emb2, support)
+
+
+def test_similar_captions_prompt_injection(tmp_path):
+    """DRCap RAG manifests fold retrieved captions into the prompt."""
+    import wave
+
+    from slam_llm_tpu.data.speech_dataset import SpeechDatasetJsonl
+    from slam_llm_tpu.data.tokenizer import ByteTokenizer
+
+    wav = tmp_path / "a.wav"
+    pcm = (np.sin(np.linspace(0, 90, 3200)) * 20000).astype(np.int16)
+    with wave.open(str(wav), "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    manifest = tmp_path / "m.jsonl"
+    manifest.write_text(
+        json.dumps({"key": "u1", "source": str(wav), "target": "x",
+                    "similar_captions": ["dogs bark loudly", "a dog barks"]}) + "\n"
+    )
+
+    class C:
+        train_data_path = str(manifest)
+        val_data_path = str(manifest)
+        mel_size = 8
+
+    ds = SpeechDatasetJsonl(C(), ByteTokenizer(), "train")
+    item = ds[0]
+    text = bytes(
+        i for i in item["input_ids"][item["audio_length"]:] if 0 <= i < 256
+    ).decode("utf-8", errors="ignore")
+    assert "dogs bark loudly" in text and "a dog barks" in text
