@@ -226,20 +226,78 @@ def meteor_lite(
 # ---------------------------------------------------------------------------
 
 
+def fense(
+    candidates: List[str],
+    references: List[List[str]],
+    embed_fn,
+    fluency_error_fn=None,
+    penalty: float = 0.9,
+) -> float:
+    """FENSE (Zhou et al. 2022): sentence-embedding cosine similarity between
+    candidate and references, max over references, with a fluency-error
+    penalty. The published scorer uses an SBERT encoder + a trained
+    error detector — both PLUG IN here:
+
+      * ``embed_fn(texts) -> (N, D)`` sentence embeddings (e.g. our BERT
+        tower with a converted sentence-transformers checkpoint, mean-pooled
+        + normalized);
+      * ``fluency_error_fn(texts) -> [bool]`` flags disfluent candidates
+        (optional; flagged scores are multiplied by ``1 - penalty``).
+    """
+    import numpy as np
+
+    cand_z = np.asarray(embed_fn(candidates))
+    scores = []
+    flat_refs = [r for rs in references for r in rs]
+    ref_z = np.asarray(embed_fn(flat_refs))
+    errors = fluency_error_fn(candidates) if fluency_error_fn else [False] * len(candidates)
+    i = 0
+    for c in range(len(candidates)):
+        n = len(references[c])
+        sims = ref_z[i : i + n] @ cand_z[c]
+        i += n
+        s = float(sims.max())
+        if errors[c]:
+            s *= 1.0 - penalty
+        scores.append(s)
+    return float(np.mean(scores)) if scores else 0.0
+
+
 def compute_caption_metrics(
-    candidates: List[str], references: List[List[str]]
+    candidates: List[str],
+    references: List[List[str]],
+    spice_fn=None,
+    fense_embed_fn=None,
+    fense_fluency_fn=None,
 ) -> Dict[str, float]:
+    """Standard AAC metric bundle.
+
+    SPICE needs the Java scene-graph parser (reference shells out to
+    aac-metrics); pass ``spice_fn(candidates, references) -> float`` to plug
+    an external scorer in — SPIDEr is then the true (CIDEr+SPICE)/2,
+    otherwise CIDEr-only is reported and labeled as such. FENSE runs when an
+    embedding callable is supplied (see ``fense``)."""
     b = bleu(candidates, references)
     cider = cider_d(candidates, references)
-    return {
+    out = {
         "bleu_1": round(b[0], 4),
         "bleu_4": round(b[3], 4),
         "rouge_l": round(rouge_l(candidates, references), 4),
         "meteor": round(meteor_lite(candidates, references), 4),
         "cider": round(cider, 4),
-        # SPIDEr = (CIDEr + SPICE)/2; SPICE needs a Java parser -> omitted
-        "spider_cider_only": round(cider, 4),
     }
+    if spice_fn is not None:
+        spice = float(spice_fn(candidates, references))
+        out["spice"] = round(spice, 4)
+        out["spider"] = round((cider + spice) / 2, 4)
+    else:
+        # SPIDEr = (CIDEr + SPICE)/2; SPICE needs a Java parser -> omitted
+        out["spider_cider_only"] = round(cider, 4)
+    if fense_embed_fn is not None:
+        out["fense"] = round(
+            fense(candidates, references, fense_embed_fn, fense_fluency_fn), 4
+        )
+    return out
 
 
 def _read_log(path: str) -> Dict[str, str]:

@@ -59,3 +59,38 @@ def test_aggregate_and_cli(tmp_path):
     m = main(str(gt), str(pred))
     assert set(m) >= {"bleu_1", "bleu_4", "rouge_l", "meteor", "cider"}
     assert 0 < m["meteor"] <= 1
+
+
+def test_fense_and_spice_hooks():
+    """Pluggable SPICE/FENSE (round-1 missing #9): SPIDEr becomes the true
+    average when a SPICE scorer is plugged in; FENSE scores similarity with
+    a fluency penalty."""
+    import numpy as np
+
+    from slam_llm_tpu.utils.caption_metrics import compute_caption_metrics, fense
+
+    cands = ["a dog barks", "water flows"]
+    refs = [["a dog barking"], ["water is flowing", "stream sounds"]]
+
+    m = compute_caption_metrics(cands, refs, spice_fn=lambda c, r: 0.2)
+    assert m["spice"] == 0.2
+    assert abs(m["spider"] - (m["cider"] + 0.2) / 2) < 1e-6
+
+    # FENSE with a toy embedder: identical strings -> sim 1.0
+    vocab = {}
+
+    def embed(texts):
+        out = []
+        for t in texts:
+            v = np.zeros(8)
+            for w in t.split():
+                v[hash(w) % 8] += 1.0
+            out.append(v / max(np.linalg.norm(v), 1e-9))
+        return np.stack(out)
+
+    s_no_err = fense(cands, refs, embed)
+    s_err = fense(cands, refs, embed, fluency_error_fn=lambda ts: [True, False])
+    assert 0 < s_err < s_no_err <= 1.0
+
+    m2 = compute_caption_metrics(cands, refs, fense_embed_fn=embed)
+    assert "fense" in m2 and m2["fense"] > 0
