@@ -74,7 +74,7 @@ def test_fense_and_spice_hooks():
 
     m = compute_caption_metrics(cands, refs, spice_fn=lambda c, r: 0.2)
     assert m["spice"] == 0.2
-    assert abs(m["spider"] - (m["cider"] + 0.2) / 2) < 1e-6
+    assert abs(m["spider"] - (m["cider"] + 0.2) / 2) < 1e-3  # 4-dp rounding
 
     # FENSE with a toy embedder: identical strings -> sim 1.0
     vocab = {}
