@@ -30,6 +30,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import jax as _jax
+
+# persistent compile cache: the big train-step compiles take minutes through
+# the remote compile helper; cache them across bench invocations
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 A100_EST_UTT_PER_SEC = 45.0
 
 # flagship shapes (LibriSpeech 30 s utterances)

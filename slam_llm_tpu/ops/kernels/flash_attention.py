@@ -195,7 +195,7 @@ def flash_attention(
     kv_mask: jnp.ndarray,  # (B, Tk) 1=valid
     causal: bool = False,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ):

@@ -123,6 +123,20 @@ class EnglishTextNormalizer:
         return s
 
 
+def basic_normalize(text: str) -> str:
+    """Language-agnostic normalizer (whisper ``BasicTextNormalizer``
+    semantics, used by the ST scorer, reference
+    examples/st_covost2/test_werbleu.py:66-81): lowercase, drop bracketed
+    asides, replace symbols/punctuation (any non word/space codepoint) with
+    space, collapse whitespace. Unicode word chars survive, so it is safe on
+    non-English targets."""
+    s = text.lower()
+    s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)
+    s = re.sub(r"\(([^)]+?)\)", "", s)
+    s = re.sub(r"[^\w\s]", " ", s, flags=re.UNICODE)
+    return re.sub(r"\s+", " ", s).strip()
+
+
 def normalize_file(src: str, dst: str, squash_repeats: bool = False) -> None:
     """key<SP>text -> key<TAB>normalized (matches whisper_tn/llm_tn CLIs)."""
     norm = EnglishTextNormalizer()

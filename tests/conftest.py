@@ -19,8 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# persistent compile cache: the single-core CI host spends most of the suite
+# wall-time in XLA compiles; cache them across runs. Set via jax.config (the
+# env var is read at backend init, which sitecustomize already triggered).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import sys
 from pathlib import Path
