@@ -6,6 +6,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 from slam_llm_tpu.utils.bleu import corpus_bleu, tokenize_13a, tokenize_zh
 
 REPO = Path(__file__).resolve().parents[1]
@@ -60,6 +62,24 @@ def test_multi_reference_closest_length():
     # closest ref length governs bp; a matching short ref avoids the penalty
     _, _, bp = corpus_bleu(["the cat"], [["the cat", "the cat sat down here"]], max_n=2)
     assert bp == 1.0
+
+
+def test_parity_vs_sacrebleu():
+    sacrebleu = pytest.importorskip("sacrebleu")
+    import random
+
+    random.seed(0)
+    vocab = "the a cat dog sat ran on mat rug fast slow big 猫 狗 3.5 state-of-the-art".split()
+    for trial in range(5):
+        n = random.randint(1, 30)
+        hyps = [" ".join(random.choices(vocab, k=random.randint(1, 15))) for _ in range(n)]
+        refs = [" ".join(random.choices(vocab, k=random.randint(1, 15))) for _ in range(n)]
+        want = sacrebleu.corpus_bleu(hyps, [refs], lowercase=True, tokenize="13a")
+        got, precisions, bp = corpus_bleu([h.lower() for h in hyps], [[r.lower()] for r in refs])
+        assert abs(got - want.score) < 1e-9, (trial, got, want.score)
+        assert abs(bp - want.bp) < 1e-12
+        for g, w in zip(precisions, want.precisions):
+            assert abs(g - w) < 1e-9
 
 
 def test_st_scorer_cli(tmp_path):
