@@ -113,13 +113,19 @@ def corpus_bleu(
     max_n: int = 4,
     smooth: str = "exp",
     tokenize=tokenize_13a,
+    effective_order: bool = False,
 ) -> Tuple[float, List[float], float]:
-    """sacrebleu-style corpus BLEU.
+    """sacrebleu-exact corpus BLEU (semantics mirror
+    ``sacrebleu.metrics.bleu.BLEU.compute_bleu``, parity-tested in
+    tests/test_bleu.py):
 
-    Args:
-      hypotheses: one system output per segment.
-      references: per segment, a LIST of references (>=1).
-      smooth: "exp" (sacrebleu default) or "none".
+    * zero clipped matches at EVERY order -> score 0, no smoothing;
+    * orders with zero total hyp n-grams terminate the precision loop;
+    * ``exp`` smoothing (mteval NIST): zero-match orders get
+      100/(2^k * total), k doubling per zero order;
+    * ``effective_order`` (sacrebleu's sentence-BLEU flag, default False like
+      corpus BLEU): when True the geometric mean stops at the last order with
+      any hyp n-grams; when False a zero precision zeroes the score.
 
     Returns (bleu_percent, precisions_percent[max_n], brevity_penalty).
     """
@@ -130,8 +136,8 @@ def corpus_bleu(
     sys_len = 0
     ref_len = 0
     for hyp, refs in zip(hypotheses, references):
-        h = tokenize(hyp)
-        rs = [tokenize(r) for r in refs]
+        h = tokenize(hyp.rstrip())
+        rs = [tokenize(r.rstrip()) for r in refs]
         sys_len += len(h)
         # closest reference length (ties -> shorter), sacrebleu/mteval rule
         ref_len += min((abs(len(r) - len(h)), len(r)) for r in rs)[1]
@@ -146,28 +152,30 @@ def corpus_bleu(
             den[n] += c
             num[n] += min(c, max_ref.get(gram, 0))
 
-    # sacrebleu's effective order: when every hypothesis is shorter than
-    # max_n tokens, higher orders have zero total n-grams and are excluded
-    # from the geometric mean instead of zeroing the score
-    effective_order = max_n
-    precisions = []
+    bp = 1.0
+    if sys_len < ref_len:
+        bp = math.exp(1.0 - ref_len / sys_len) if sys_len > 0 else 0.0
+
+    precisions = [0.0] * max_n
+    if not any(num):  # sacrebleu #141: no matches at any order -> hard zero
+        return 0.0, precisions, bp
+
     smooth_val = 1.0
+    eff_order = max_n
     for n in range(max_n):
         if den[n] == 0:
-            effective_order = min(effective_order, n)
-            precisions.append(0.0)
-            continue
-        if num[n] == 0 and smooth == "exp":
-            smooth_val *= 2.0
-            precisions.append(100.0 / (smooth_val * den[n]))
+            break
+        if effective_order:
+            eff_order = n + 1
+        if num[n] == 0:
+            if smooth == "exp":
+                smooth_val *= 2.0
+                precisions[n] = 100.0 / (smooth_val * den[n])
         else:
-            precisions.append(100.0 * num[n] / den[n])
+            precisions[n] = 100.0 * num[n] / den[n]
 
-    if effective_order == 0 or min(precisions[:effective_order]) <= 0:
-        return 0.0, precisions, 0.0
+    def _log(p: float) -> float:
+        return math.log(p) if p > 0.0 else -9999999999.0
 
-    bp = 1.0 if sys_len >= ref_len else math.exp(1.0 - ref_len / max(sys_len, 1))
-    score = bp * math.exp(
-        sum(math.log(p) for p in precisions[:effective_order]) / effective_order
-    )
+    score = bp * math.exp(sum(_log(p) for p in precisions[:eff_order]) / eff_order)
     return score, precisions, bp

@@ -84,8 +84,10 @@ def test_parity_vs_sacrebleu():
 
 def test_st_scorer_cli(tmp_path):
     rows = [
-        {"gt": "the cat sat <|de|> die katze sass", "response": "the cat sat <|de|> die katze sass"},
-        {"gt": "hello there <|de|> hallo du", "response": "hello there <|de|> hallo du"},
+        {"gt": "the cat sat down <|de|> die katze hat sich gesetzt",
+         "response": "the cat sat down <|de|> die katze hat sich gesetzt"},
+        {"gt": "hello there my friend <|de|> hallo du mein freund",
+         "response": "hello there my friend <|de|> hallo du mein freund"},
     ]
     f = tmp_path / "results.jsonl"
     f.write_text("\n".join(json.dumps(r) for r in rows))
