@@ -40,7 +40,9 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_EST_UTT_PER_SEC = 45.0
 
 # flagship shapes (LibriSpeech 30 s utterances)
-B = 16  # per chip; measured best on v5e (flat-to-worse at 24/32)
+import os as _os
+
+B = int(_os.environ.get("BENCH_B", "16"))  # per-chip batch (BENCH_B overrides)
 T_MEL = 3000
 T_TEXT = 448
 N_MELS = 80

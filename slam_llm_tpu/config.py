@@ -84,8 +84,13 @@ class ShardConfig:
     fsdp: int = 1
     tp: int = 1
     remat: bool = True  # activation checkpointing on decoder blocks
-    remat_policy: str = "nothing_saveable"  # or "dots_saveable", "full"
+    # dots_flash_saveable (save matmul outputs + flash-attention residuals,
+    # recompute only elementwise ops) measured ~40% faster than
+    # nothing_saveable on the flagship at B=16 and still fits HBM; fall back
+    # to nothing_saveable / flash_only when memory-bound
+    remat_policy: str = "dots_flash_saveable"
     scan_layers: bool = True  # lax.scan over decoder layers (fast compile)
+    scan_unroll: int = 1  # lax.scan unroll factor over layers
 
 
 @dataclass

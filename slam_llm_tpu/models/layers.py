@@ -147,9 +147,11 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float = 10000.0) -
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
     x32_1, x32_2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out1 = x32_1 * cos - x32_2 * sin
-    out2 = x32_2 * cos + x32_1 * sin
-    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+    # rotate in fp32, but cast each half down BEFORE the concat — otherwise
+    # XLA materializes the full (B,T,H,D) fp32 concat just to convert it
+    out1 = (x32_1 * cos - x32_2 * sin).astype(x.dtype)
+    out2 = (x32_2 * cos + x32_1 * sin).astype(x.dtype)
+    return jnp.concatenate([out1, out2], axis=-1)
 
 
 # ---------------------------------------------------------------------------

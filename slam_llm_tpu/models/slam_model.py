@@ -314,6 +314,7 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         **{
             **llm_cfg.__dict__,
             "scan_layers": tc.shard.scan_layers,
+            "scan_unroll": getattr(tc.shard, "scan_unroll", 1),
             "remat": tc.shard.remat,
             "remat_policy": tc.shard.remat_policy,
         }

@@ -27,7 +27,7 @@ def test_flash_matches_xla(causal, tq, tk):
     kv_mask = jnp.asarray(kv_mask)
 
     ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
-    got = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, True)
+    got = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
     valid_q = np.ones((b, tq), bool)
     if causal:
         pass  # all query rows have at least themselves (kv row may be masked)
@@ -48,7 +48,7 @@ def test_flash_left_padding():
     kv_mask[0, :29] = 0  # left padding
     kv_mask = jnp.asarray(kv_mask)
     ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=True)
-    got = flash_attention(q, k, v, kv_mask, True, None, 128, 128, True)
+    got = flash_attention(q, k, v, kv_mask, True, None, 128, 128, None, None, True)
     rows = np.asarray(kv_mask).astype(bool)  # compare only valid query rows
     np.testing.assert_allclose(
         np.asarray(got)[rows], np.asarray(ref)[rows], atol=2e-5, rtol=1e-4
@@ -84,7 +84,7 @@ def test_flash_gradients_match(causal, t):
     sel = jnp.asarray(any_valid)[:, :, None, None]
 
     def loss_flash(q, k, v):
-        out = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, True)
+        out = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
         return jnp.sum((out * sel) ** 2)
 
     def loss_xla(q, k, v):
@@ -109,12 +109,12 @@ def test_flash_gqa_matches_xla(causal):
     kv_mask = jnp.asarray(kv_mask)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, kv_mask, causal, None, 128, 128, True) ** 2)
+        return jnp.sum(flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True) ** 2)
 
     def loss_xla(q, k, v):
         return jnp.sum(_xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal) ** 2)
 
-    of = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, True)
+    of = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
     ox = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
     np.testing.assert_allclose(np.asarray(of), np.asarray(ox), atol=2e-5, rtol=1e-4)
 
@@ -148,3 +148,37 @@ def test_llm_uses_structured_path_consistently():
     np.testing.assert_allclose(
         np.asarray(logits)[valid], np.asarray(logits_dense)[valid], atol=2e-4, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_bf16_fast_exp_path(causal):
+    """bf16 inputs take the bf16-exp fast path (the fp32 tests above cover the
+    exact path); parity vs the XLA path on the same bf16 inputs at the loose
+    tolerance bf16 p-values imply (~0.5% relative)."""
+    b, t, h, hkv, d = 2, 256, 8, 2, 64
+    q = _rand((b, t, h, d), 20).astype(jnp.bfloat16)
+    k = _rand((b, t, hkv, d), 21).astype(jnp.bfloat16)
+    v = _rand((b, t, hkv, d), 22).astype(jnp.bfloat16)
+    kv_mask = np.ones((b, t), np.int32)
+    kv_mask[1, t - 19 :] = 0
+    kv_mask = jnp.asarray(kv_mask)
+
+    of = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
+    ox = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(of, np.float32), np.asarray(ox, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32), atol=5e-2, rtol=5e-2
+        )
