@@ -138,13 +138,23 @@ def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jnp.ndarray:
     return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
-    """x: (B, T, H, D); positions: (B, T) int32. HF-llama rotate-half layout."""
-    half = x.shape[-1] // 2
-    freqs = rope_frequencies(x.shape[-1], theta)  # (half,)
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float = 10000.0):
+    """(cos, sin) each (B, T, D/2) fp32 for HF-llama rotate-half RoPE.
+
+    Computed ONCE per forward and shared by all layers (and, on the Pallas
+    path, applied INSIDE the flash kernel — see ops/kernels/flash_attention
+    "fused RoPE": without a surrounding transpose to fuse into, an XLA-side
+    rotation materializes ~1.4 ms/layer of broadcast/mul/convert/concat HBM
+    traffic over the 29 MB q tensor at the flagship shape)."""
+    freqs = rope_frequencies(head_dim, theta)  # (half,)
     angles = positions.astype(jnp.float32)[..., None] * freqs[None, None, :]  # (B,T,half)
-    cos = jnp.cos(angles)[:, :, None, :]  # (B,T,1,half)
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope_tables(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, T, H, D); cos/sin: (B, T, D/2) fp32 from ``rope_tables``."""
+    half = x.shape[-1] // 2
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
     x32_1, x32_2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     # rotate in fp32, but cast each half down BEFORE the concat — otherwise
@@ -152,6 +162,12 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float = 10000.0) -
     out1 = (x32_1 * cos - x32_2 * sin).astype(x.dtype)
     out2 = (x32_2 * cos + x32_1 * sin).astype(x.dtype)
     return jnp.concatenate([out1, out2], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
+    """x: (B, T, H, D); positions: (B, T) int32. HF-llama rotate-half layout."""
+    cos, sin = rope_tables(positions, x.shape[-1], theta)
+    return apply_rope_tables(x, cos, sin)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +186,8 @@ def mha_attention(
     kv_mask: Optional[jnp.ndarray] = None,  # (B, Tk) structured key validity
     causal: bool = False,
     use_pallas: Optional[bool] = None,
+    rope: Optional[tuple] = None,  # (cos, sin) (B, T, D/2) from rope_tables;
+    # q/k come PRE-rotation — rotated in-kernel (Pallas) or here (XLA)
 ) -> jnp.ndarray:
     """Multi-head attention with GQA.
 
@@ -184,6 +202,8 @@ def mha_attention(
             # prefix-tuning prepends virtual KV slots: causal with Tq != Tk is
             # end-aligned, which only the XLA path implements
             use_pallas = False
+        if rope is not None and q.shape[1] != k.shape[1]:
+            use_pallas = False  # fused rope is self-attention-only
     if use_pallas:
         from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 
@@ -194,7 +214,14 @@ def mha_attention(
             if kv_mask is not None
             else jnp.ones(k.shape[:2], jnp.int32)
         )
+        if rope is not None:
+            return flash_attention(
+                q, k, v, mask, causal, rope_cos=rope[0], rope_sin=rope[1]
+            )
         return flash_attention(q, k, v, mask, causal)
+    if rope is not None:
+        q = apply_rope_tables(q, rope[0], rope[1])
+        k = apply_rope_tables(k, rope[0], rope[1])
     return _xla_attention(q, k, v, bias, kv_mask, causal)
 
 
@@ -217,13 +244,20 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
     """XLA attention: bf16 score matmuls on the MXU with fp32 accumulation
     (``preferred_element_type``) — NOT fp32 inputs, which would route the
     matmul off the fast MXU path. GQA is a grouped einsum: KV stays at Hkv
-    heads instead of being materialized ``n_heads`` wide."""
+    heads instead of being materialized ``n_heads`` wide.
+
+    f32 inputs get ``Precision.HIGHEST``: the TPU default truncates f32
+    matmul inputs to one bf16 pass (~4e-3 relative), which would make this
+    "exact" fallback LESS accurate than the Pallas kernel (measured 1e-2 vs
+    2e-6 against an fp64 reference). bf16 inputs keep the native MXU path."""
     b, tq, h, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
     g = h // hkv
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     qg = q.reshape(b, tq, hkv, g, d)
     logits = jnp.einsum(
-        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32,
+        precision=prec,
     ) * (1.0 / math.sqrt(d))
     if bias is None and (kv_mask is not None or causal):
         mask = (
@@ -242,7 +276,7 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return out.reshape(b, tq, h, d).astype(v.dtype)
 

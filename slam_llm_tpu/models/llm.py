@@ -32,8 +32,10 @@ from slam_llm_tpu.models.layers import (
     DenseGeneralLora,
     RMSNorm,
     apply_rope,
+    apply_rope_tables,
     make_causal_bias,
     mha_attention,
+    rope_tables,
 )
 
 
@@ -157,8 +159,19 @@ class Attention(nn.Module):
         q = q_proj(x, deterministic).reshape(b, t, c.n_heads, c.head_dim)
         k = k_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
         v = v_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
-        q = apply_rope(q, positions, c.rope_theta)
-        k = apply_rope(k, positions, c.rope_theta)
+        # RoPE: the training path hands the (cos, sin) tables to
+        # mha_attention so the Pallas kernel rotates q/k on its VMEM tiles
+        # (fused rope — layers.rope_tables docstring has the why). The
+        # decode/cache path and prefix-tuning must rotate HERE: the cache
+        # stores rotated keys, and prefix slots are post-rope learnables
+        # that would be double-rotated by a fused kernel.
+        cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
+        fused_rope = cache_k is None and not (
+            c.peft_method == "prefix" and c.prefix_tokens > 0
+        )
+        if not fused_rope:
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
 
         new_cache = None
         if cache_k is not None:
@@ -200,6 +213,7 @@ class Attention(nn.Module):
         out = mha_attention(
             q, k.astype(q.dtype), v.astype(q.dtype),
             bias=bias, kv_mask=kv_mask, causal=bias is None,
+            rope=(cos, sin) if fused_rope else None,
         )
 
         if c.peft_method == "adaption_prompt" and c.adaption_prompt_len > 0:
@@ -220,7 +234,10 @@ class Attention(nn.Module):
                 1, p, c.n_kv_heads, c.head_dim
             )
             groups = c.n_heads // c.n_kv_heads
-            qg = q.reshape(b, t, c.n_kv_heads, groups, c.head_dim)
+            # the prompt attention queries with ROTATED q (the fused path
+            # keeps q pre-rotation, so rotate a local copy here)
+            q_rot = apply_rope_tables(q, cos, sin) if fused_rope else q
+            qg = q_rot.reshape(b, t, c.n_kv_heads, groups, c.head_dim)
             scores = jnp.einsum(
                 "bqhgd,bkhd->bhgqk", qg, jnp.broadcast_to(pk, (b, p, c.n_kv_heads, c.head_dim)),
                 preferred_element_type=jnp.float32,

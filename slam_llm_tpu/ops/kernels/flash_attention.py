@@ -3,20 +3,42 @@
 The reference gets fused attention from BetterTransformer/Xformers
 (reference models/slam_model.py:193-197) — an external CUDA dependency. Here
 the hot op is a native Pallas kernel: online-softmax attention that never
-materializes the (Tq, Tk) score matrix in HBM, tiled for the MXU
-(128-aligned q/k blocks), with causal + key-padding masking folded into the
-tiles (causal query blocks visit only key blocks at/below the diagonal).
+materializes the (Tq, Tk) score matrix in HBM, tiled for the MXU, with
+causal + key-padding masking folded into the tiles (causal query blocks
+visit only key blocks at/below the diagonal).
 
-GQA is first-class: q has H heads, k/v have Hkv heads (H % Hkv == 0) and the
-grid iterates over (batch*Hkv, blocks) cells — each cell loads one KV head
-ONCE and FOLDS its ``G = H // Hkv`` query heads into the matmul M dimension
-(a (G*BQ, ·) tile), so every key block costs one large MXU op instead of G
-small ones. On a single-tensor-core chip the grid is sequential, so per-op
-size is everything: the unfolded per-group loop measured ~1.6 ms/layer at
-the flagship decoder shape (B16 T448 H32 Hkv4 D64) — ~100x the FLOP time.
-Folding also cuts KV HBM traffic 8x vs expanding KV to H heads, and in the
-backward the group-summed dk/dv reduction happens inside one matmul
-contraction over (G*BQ) (no (B,T,H,D)->(B,T,Hkv,D) epilogue).
+Two layouts, one kernel body:
+
+* **native** (GQA/MQA: ``G = H // Hkv`` divisible by 8, or Hkv == 1): the
+  big per-call tensors (q, out, dout, dq — 29 MB each at the flagship
+  decoder shape B16 T448 H32 D64) are consumed and produced exactly as the
+  model lays them out, (B, T, H, D), with the group dim sliced out of H by
+  the BlockSpec index map. The earlier grouped layout spent ~1 ms/layer on
+  q/out transposes + pad/unpad around a ~1 ms kernel — pure HBM traffic the
+  kernel never needed. Mosaic requires the trailing (G, D) block tile to be
+  (8·k, ·) or exactly the array dims, hence the G gate.
+* **flat** (MHA / small groups, e.g. whisper encoders): per-head
+  (B*H, T, D) with the kv head resolved by index-map arithmetic
+  (``h // G``); costs one q/out transpose per call but has no tile-shape
+  constraint on G.
+
+GQA is folded into the matmul M dimension: each grid cell owns one KV head,
+loads it ONCE, and computes all its G query heads in one (BQ*G, ·) matmul
+per key block — row r is (q_pos r//G, group r%G), i.e. the in-VMEM
+(BQ, G, D) block reshaped without any data movement. A per-group python
+loop was ~100x the FLOP time (small serialized matmuls); folding also cuts
+KV HBM traffic G-fold vs expanding KV to H heads, and in the backward the
+group-summed dk/dv reduction happens inside one matmul contraction over
+(BQ*G).
+
+Softmax runs in the exp2 domain (scores pre-scaled by log2(e), ``jnp.exp2``
+instead of ``jnp.exp``, lse kept as log2-sum-exp2): the VPU transcendental
+is the kernel's hot spot at short T and exp2 is the cheaper primitive (exp
+lowers to exp2 + a multiply per element). Probabilities are bit-identical
+math: exp2(x*log2e) == exp(x).
+
+Block sizes that divide Tq exactly (224 for T=448) avoid q-side padding
+entirely; key blocks stay 128-lane aligned (KV padding is cheap).
 
 Interface: q (B, Tq, H, D), k/v (B, Tk, Hkv, D). Backward is a custom VJP
 with two Pallas passes (dq over q-blocks; dk/dv over k-blocks), recomputing
@@ -38,8 +60,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * LOG2E)
 
-# Raise the scoped-VMEM budget: the folded (G*BQ, BK) f32 score tiles exceed
+# Raise the scoped-VMEM budget: the folded (BQ*G, BK) f32 score tiles exceed
 # the conservative 16 MB default at larger block sizes. (Declaring the grid
 # dims "parallel" was also tried and measured ~10% SLOWER at these shapes —
 # the default arbitrary/megacore scheduling wins on a single-core v5e.)
@@ -56,80 +79,202 @@ def _round_up(x, m):
     return _cdiv(x, m) * m
 
 
+def _pick_block_q(requested: int, tq: int) -> int:
+    """Largest q-block <= requested that divides tq exactly, so the q/out/g
+    tensors never need padding (on the flagship shape B16 T448 H32 D64 the
+    q-side pad+unpad measured ~0.9 ms/layer — more than the kernel itself).
+    q rows are the SUBLANE dim of the score tile, so any multiple of 16
+    (bf16 tile) works; only key blocks need 128-lane alignment. Falls back
+    to the padded path when tq has no usable divisor."""
+    if tq <= requested:
+        return tq if tq % 16 == 0 else min(_round_up(requested, 128), _round_up(tq, 128))
+    for cand in range(requested, 63, -16):
+        if tq % cand == 0:
+            return cand
+    return min(_round_up(requested, 128), _round_up(tq, 128))
+
+
+def _use_native(h: int, hkv: int) -> bool:
+    """Native (B, T, H, D) blocks need the trailing (G, D) tile to be Mosaic
+    -legal: G a multiple of 8 (sublane tile) or the full H dim (Hkv == 1)."""
+    g = h // hkv
+    return g % 8 == 0 or hkv == 1
+
+
+def _causal_valid(q0, k0, bq, bk, groups):
+    """(BQ*G, BK) bool: key k0+j visible to query q0+i//G.
+
+    Rows are (q_pos, group)-interleaved to match the in-kernel reshape of the
+    native (BQ, G, D) q block, so the q index of row r is r // G."""
+    if groups == 1:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    else:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, groups, bk), 0).reshape(
+            bq * groups, bk
+        )
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (bq * groups, bk), 1)
+    return (k0 + kv_idx) <= (q0 + q_idx)
+
+
+def _expand_rows(x, groups, bq, bk):
+    """(BQ, BK) -> (BQ*G, BK) by repeating each q row for its G groups."""
+    if groups == 1:
+        return x
+    return jnp.broadcast_to(x[:, None, :], (bq, groups, bk)).reshape(bq * groups, bk)
+
+
+def _kv_head(ref):
+    """K/V block -> (Tk, D): native blocks are (1, 1, Tk, D), flat (1, Tk, D)."""
+    return ref[0, 0] if ref.ndim == 4 else ref[0]
+
+
+def _kv_slice(ref, start, size):
+    """Dynamic (size, D) slice straight off the K/V ref (pl.ds only works on
+    refs, not on materialized arrays)."""
+    if ref.ndim == 4:
+        return ref[0, 0, pl.ds(start, size), :]
+    return ref[0, pl.ds(start, size), :]
+
+
+def _dot_precision(dtype):
+    """Inside Mosaic, f32 matmul inputs default to a single truncated-bf16
+    MXU pass (~4e-3 relative error) — fine for bf16 training, but the fp32
+    path is the exact-parity path, so force the multi-pass f32 emulation
+    there. bf16 inputs are native MXU either way (None keeps the default)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+# ---------------------------------------------------------------------------
+# fused RoPE
+#
+# Rotating q/k INSIDE the kernel (on the VMEM tiles, fp32 math, cast back to
+# the matmul dtype) instead of in XLA removes ~1.4 ms/layer of unfused
+# broadcast/mul/convert/concatenate traffic over the 29 MB q tensor at the
+# flagship shape — with native-layout kernel I/O there is no surrounding
+# transpose left for XLA to fuse the rotation into, so it would otherwise
+# materialize through HBM. The backward counter-rotates dq/dk (RoPE is an
+# orthogonal rotation: d(pre) = R^T d(post)).
+# ---------------------------------------------------------------------------
+
+
+def _rot(x, cos, sin):
+    """RoPE rotation. x (..., D); cos/sin broadcastable (..., D/2), fp32.
+    Matches models.layers.apply_rope: rotate in fp32, cast back to x.dtype."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    return jnp.concatenate(
+        [(x1 * cos - x2 * sin).astype(x.dtype), (x2 * cos + x1 * sin).astype(x.dtype)],
+        axis=-1,
+    )
+
+
+def _rot_inv(x, cos, sin):
+    """Transpose (inverse) RoPE rotation, for dq/dk in the backward."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    return jnp.concatenate(
+        [(x1 * cos + x2 * sin).astype(x.dtype), (x2 * cos - x1 * sin).astype(x.dtype)],
+        axis=-1,
+    )
+
+
+def _rot_q(q_ref, cos_ref, sin_ref, inv=False):
+    """Rotate a q-side block. Native (1, BQ, G, D) broadcasts the (1, BQ, D2)
+    table over G; flat (1, BQ, D) uses it directly. Returns q_ref[0]'s shape."""
+    x = q_ref[0]
+    cos, sin = cos_ref[0], sin_ref[0]
+    if x.ndim == 3:  # native: (BQ, G, D), cos (BQ, D2)
+        cos, sin = cos[:, None, :], sin[:, None, :]
+    f = _rot_inv if inv else _rot
+    return f(x, cos, sin)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
-    q_ref,  # (1, G, BQ, D)
-    k_ref,  # (1, Tk, D) — one kv head
-    v_ref,  # (1, Tk, D)
+    q_ref,  # (1, BQ, G, D) native | (1, BQ, D) flat
+    k_ref,  # (1, 1, Tk, D) native | (1, Tk, D) flat — one kv head
+    v_ref,  # like k_ref
     mask_ref,  # (1, 1, Tk) int32 key validity (0 on padding)
-    out_ref,  # (1, G, BQ, D)
-    lse_ref,  # (1, G, BQ, 1) — trailing-1 so in-kernel reshapes to/from the
-    #           folded (G*BQ, 1) row-stats never cross the lane dimension
-    #           (Mosaic rejects lane-crossing shape casts)
-    *,
+    *rest,  # [cosq (1,BQ,D2), sinq, cosk (1,Tk,D2), sink] if fused_rope,
+    #         then out_ref (like q_ref), lse_ref ((1,BQ,G,1)|(1,BQ,1) fp32,
+    #         log2 domain: m2 + log2(l))
     scale: float,
     causal: bool,
     block_k: int,
     q_block: int,
     groups: int,
+    fused_rope: bool = False,
 ):
-    _, _, bq, d = q_ref.shape
-    tk = k_ref.shape[1]
-    qi = pl.program_id(1)
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, out_ref, lse_ref = rest
+    else:
+        out_ref, lse_ref = rest
+    bq = q_ref.shape[1]
+    d = q_ref.shape[-1]
+    tk = k_ref.shape[-2]
+    qi = pl.program_id(2)
 
     nk = tk // block_k
     nk_dyn = jnp.minimum(nk, _cdiv((qi + 1) * q_block, block_k)) if causal else nk
 
-    # GQA FOLD: all G query heads of this kv head share K/V, so fold the
-    # group axis into the matmul M dimension — ONE (G*BQ, BK) matmul per key
-    # block instead of G small ones. A per-group python loop serializes G*2
-    # tiny matmuls per tile; on a single-tensor-core chip the grid is already
-    # sequential, and the traced cost was ~1.6 ms/layer (~100x the FLOP time).
-    # Matmul INPUTS stay in the native (bf16) dtype — f32 inputs fall off the
-    # fast MXU path; accumulation is f32 via preferred_element_type.
-    q = q_ref[0].reshape(groups * bq, d)  # contiguous (G, BQ, D) -> (G*BQ, D)
-    gb = groups * bq
+    # GQA FOLD (see module docstring): all G query heads of this kv head
+    # share K/V, so the (BQ, G, D) block reshapes — no data movement — into
+    # (BQ*G, D) matmul rows: ONE large MXU op per key block. Matmul INPUTS
+    # stay in the native (bf16) dtype — f32 inputs fall off the fast MXU
+    # path; accumulation is f32 via preferred_element_type. Scores carry the
+    # softmax scale pre-multiplied by log2(e) so the online softmax runs on
+    # the cheaper exp2 primitive.
+    gb = bq * groups
+    q3 = _rot_q(q_ref, cosq_ref, sinq_ref) if fused_rope else q_ref[0]
+    q = q3.reshape(gb, d)
+    scale2 = scale * LOG2E
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry  # (GB,1), (GB,1), (GB,D)
         k_start = ki * block_k
-        k_blk = k_ref[0, pl.ds(k_start, block_k), :]
-        v_blk = v_ref[0, pl.ds(k_start, block_k), :]
-        valid = mask_ref[0, :, pl.ds(k_start, block_k)] > 0  # (1, BK)
-        valid = jnp.broadcast_to(valid, (bq, block_k))
-        if causal:
-            kv_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-            q_idx = qi * q_block + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
-            valid = valid & (kv_idx <= q_idx)
-        valid_gb = jnp.broadcast_to(valid[None], (groups, bq, block_k)).reshape(
-            gb, block_k
+        k_blk = _kv_slice(k_ref, k_start, block_k)
+        v_blk = _kv_slice(v_ref, k_start, block_k)
+        if fused_rope:
+            k_blk = _rot(
+                k_blk,
+                cosk_ref[0, pl.ds(k_start, block_k), :],
+                sink_ref[0, pl.ds(k_start, block_k), :],
+            )
+        valid = _expand_rows(
+            jnp.broadcast_to(mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)),
+            groups, bq, block_k,
         )
+        if causal:
+            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k, groups)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (GB, BK) f32
-        s = jnp.where(valid_gb, s, NEG_INF)
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale2  # (GB, BK) f32, log2 domain
+        s = jnp.where(valid, s, NEG_INF)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # exp on the (G*BQ, BK) tile is the VPU hot spot (the matmuls are a
+        # exp2 on the (BQ*G, BK) tile is the VPU hot spot (the matmuls are a
         # rounding error next to it on v5e); for bf16 inputs compute it in
         # bf16 — exponent range is (-inf, 0] so bf16's 8 mantissa bits cost
         # ~0.4% per-element error on p, inside attention's bf16 output
-        # precision. fp32 inputs keep fp32 exp (exact-parity path). The
+        # precision. fp32 inputs keep fp32 exp2 (exact-parity path). The
         # row-sum l accumulates in f32 either way.
-        p = jnp.exp((s - m_new).astype(exp_dtype))
-        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp2((s - m_new).astype(exp_dtype))
+        correction = jnp.exp2(m_prev - m_new)
         l_new = l_prev * correction + jnp.sum(
             p, axis=1, keepdims=True, dtype=jnp.float32
         )
         acc_new = acc * correction + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return m_new, l_new, acc_new
 
@@ -139,78 +284,172 @@ def _fwd_kernel(
     m, l, acc = jax.lax.fori_loop(0, nk_dyn, body, (m0, l0, acc0))
 
     l_safe = jnp.maximum(l, 1e-30)
-    out_ref[0] = (acc / l_safe).reshape(groups, bq, d).astype(out_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe)).reshape(groups, bq, 1).astype(jnp.float32)
+    out_ref[0] = (acc / l_safe).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+    lse_ref[0] = (m + jnp.log2(l_safe)).reshape(lse_ref.shape[1:]).astype(jnp.float32)
 
 
-def _prep(q, k, v, kv_mask, block_q, block_k):
-    """(B,T,H,D)/(B,T,Hkv,D) -> grouped (B*Hkv, G, T, D) / (B*Hkv, T, D)."""
+def _prep_kv(k, v, kv_mask, block_k):
+    """(B, Tk, Hkv, D) -> (B, Hkv, Tk_pad, D), lane-aligned. K/V are the
+    SMALL tensors (Hkv << H); this transpose+pad is ~1/G the HBM traffic the
+    old grouped layout spent transposing q/out/dout/dq."""
+    b, tk, hkv, d = k.shape
+    block_k = min(_round_up(block_k, 128), _round_up(tk, 128))
+    tk_pad = _round_up(tk, block_k)
+    kr = k.transpose(0, 2, 1, 3)
+    vr = v.transpose(0, 2, 1, 3)
+    maskr = kv_mask.astype(jnp.int32).reshape(b, 1, tk)
+    if tk_pad != tk:
+        kr = jnp.pad(kr, ((0, 0), (0, 0), (0, tk_pad - tk), (0, 0)))
+        vr = jnp.pad(vr, ((0, 0), (0, 0), (0, tk_pad - tk), (0, 0)))
+        maskr = jnp.pad(maskr, ((0, 0), (0, 0), (0, tk_pad - tk)))
+    return kr, vr, maskr, block_k, tk_pad
+
+
+def _pad_q(x, tq_pad):
+    tq = x.shape[1]
+    if tq_pad == tq:
+        return x
+    return jnp.pad(x, ((0, 0), (0, tq_pad - tq)) + ((0, 0),) * (x.ndim - 2))
+
+
+def _q_specs(native, b, h, hkv, g, tq_pad, block_q, d, last=None, fixed=False):
+    """(array reshaper, BlockSpec) for a q-side tensor (q/out/dout/dq/lse).
+
+    native: (B, Tq, H, D) untouched, block (1, BQ, G, D) at H-offset kv*G.
+    flat:   (B*H, Tq, D) per-head, kv head via index arithmetic.
+    ``last`` overrides the trailing dim (1 for lse/delta). ``fixed`` pins the
+    q-dim block index to 0 (dkv pass: the 3rd grid index is a K block)."""
+    dl = d if last is None else last
+    qix = (lambda qi: 0) if fixed else (lambda qi: qi)
+    if native:
+        spec = pl.BlockSpec(
+            (1, block_q, g, dl), lambda bi, kv, qi, qix=qix: (bi, qix(qi), kv, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return (lambda x: x), spec
+    spec = pl.BlockSpec(
+        (1, block_q, dl), lambda bi, hq, qi, h=h, qix=qix: (bi * h + hq, qix(qi), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return (lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, tq_pad, dl)), spec
+
+
+def _kv_spec(native, hkv, g, block, d, block_idx):
+    """BlockSpec for a kv-side tensor. native keeps (B, Hkv, Tk, D); flat
+    flattens to (B*Hkv, Tk, D) and maps q head -> kv head via ``hq // g``."""
+    if native:
+        return pl.BlockSpec(
+            (1, 1, block, d), lambda bi, kv, qi, f=block_idx: (bi, kv, f(qi), 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, block, d), lambda bi, hq, qi, g=g, hkv=hkv, f=block_idx: (bi * hkv + hq // g, f(qi), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _mask_spec(tk_pad, block, block_idx):
+    return pl.BlockSpec(
+        (1, 1, block), lambda bi, kv, qi, f=block_idx: (bi, 0, f(qi)),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _rope_specs(block_q, tk_block, d2, k_block_idx=None, q_fixed=False):
+    """[cosq, sinq, cosk, sink] BlockSpecs. The q-side table is blocked with
+    the q grid dim (or full/fixed for the dkv pass); the k-side table is full
+    (sliced by pl.ds inside the key loop) unless ``k_block_idx`` blocks it.
+    Tables depend only on (batch, position), so both layouts share specs."""
+    qix = (lambda qi: 0) if q_fixed else (lambda qi: qi)
+    kix = k_block_idx if k_block_idx is not None else (lambda qi: 0)
+    qspec = pl.BlockSpec(
+        (1, block_q, d2), lambda bi, kv, qi, qix=qix: (bi, qix(qi), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kspec = pl.BlockSpec(
+        (1, tk_block, d2), lambda bi, kv, qi, f=kix: (bi, f(qi), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return [qspec, qspec, kspec, kspec]
+
+
+def _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad):
+    """[cosq, sinq, cosk, sink] operands from one (B, T, D/2) fp32 table
+    (fused rope is self-attention-only, so q and k share positions)."""
+    cq = _pad_q(rope_cos.astype(jnp.float32), tq_pad)
+    sq = _pad_q(rope_sin.astype(jnp.float32), tq_pad)
+    ck = _pad_q(rope_cos.astype(jnp.float32), tk_pad)
+    sk = _pad_q(rope_sin.astype(jnp.float32), tk_pad)
+    return [cq, sq, ck, sk]
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
+               rope_cos=None, rope_sin=None):
     b, tq, h, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
-    g = h // hkv
-
-    block_q = min(_round_up(block_q, 128), _round_up(tq, 128))
-    block_k = min(_round_up(block_k, 128), _round_up(tk, 128))
-    tq_pad = _round_up(tq, block_q)
-    tk_pad = _round_up(tk, block_k)
-
-    # head h_idx = kv*g + g_idx must map to kv head h_idx // g: reshape the
-    # transposed head axis (B, H, T, D) -> (B*Hkv, G, T, D) preserves that.
-    qr = q.transpose(0, 2, 1, 3).reshape(b * hkv, g, tq, d)
-    kr = k.transpose(0, 2, 1, 3).reshape(b * hkv, tk, d)
-    vr = v.transpose(0, 2, 1, 3).reshape(b * hkv, tk, d)
-    maskr = kv_mask.astype(jnp.int32).reshape(b, 1, tk)
-
-    if tq_pad != tq:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
-    if tk_pad != tk:
-        kr = jnp.pad(kr, ((0, 0), (0, tk_pad - tk), (0, 0)))
-        vr = jnp.pad(vr, ((0, 0), (0, tk_pad - tk), (0, 0)))
-        maskr = jnp.pad(maskr, ((0, 0), (0, 0), (0, tk_pad - tk)))
-    return qr, kr, vr, maskr, block_q, block_k, tq_pad, tk_pad, g, hkv
-
-
-def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret):
-    b, tq, h, d = q.shape
-    tk = k.shape[1]
+    if rope_cos is not None and tq != tk:
+        raise ValueError("fused rope requires self-attention (tq == tk)")
     if causal and tq != tk:
         # alignment convention: the kernel is start-aligned (kv_idx <= q_idx),
         # the XLA fallback / backward are end-aligned (tril k=tk-tq); they
         # only agree when tq == tk. All causal callers are self-attention.
         raise ValueError(f"causal flash attention requires tq == tk, got {tq} vs {tk}")
-    if h % k.shape[2] != 0:
-        raise ValueError(f"H={h} not a multiple of Hkv={k.shape[2]}")
+    if h % hkv != 0:
+        raise ValueError(f"H={h} not a multiple of Hkv={hkv}")
+    g = h // hkv
+    native = _use_native(h, hkv)
 
-    qr, kr, vr, maskr, block_q, block_k, tq_pad, tk_pad, g, hkv = _prep(
-        q, k, v, kv_mask, block_q, block_k
+    block_q = _pick_block_q(block_q, tq)
+    tq_pad = _round_up(tq, block_q)
+    kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
+    qp = _pad_q(q, tq_pad)
+
+    groups = g if native else 1
+    reshape_q, q_spec = _q_specs(native, b, h, hkv, g, tq_pad, block_q, d)
+    _, lse_spec = _q_specs(native, b, h, hkv, g, tq_pad, block_q, d, last=1)
+    if not native:
+        kr = kr.reshape(b * hkv, tk_pad, d)
+        vr = vr.reshape(b * hkv, tk_pad, d)
+
+    grid = (b, hkv if native else h, tq_pad // block_q)
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
+         jax.ShapeDtypeStruct((b, tq_pad, h, 1), jnp.float32)]
+        if native else
+        [jax.ShapeDtypeStruct((b * h, tq_pad, d), q.dtype),
+         jax.ShapeDtypeStruct((b * h, tq_pad, 1), jnp.float32)]
     )
-    grid = (b * hkv, tq_pad // block_q)
+    fused_rope = rope_cos is not None
+    in_specs = [
+        q_spec,
+        _kv_spec(native, hkv, g, tk_pad, d, lambda qi: 0),
+        _kv_spec(native, hkv, g, tk_pad, d, lambda qi: 0),
+        _mask_spec(tk_pad, tk_pad, lambda qi: 0),
+    ]
+    operands = [reshape_q(qp), kr, vr, maskr]
+    if fused_rope:
+        in_specs += _rope_specs(block_q, tk_pad, d // 2)
+        operands += _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, causal=causal, block_k=block_k,
-            q_block=block_q, groups=g,
+            q_block=block_q, groups=groups, fused_rope=fused_rope,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, g, block_q, d), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk_pad), lambda bi, qi, hkv=hkv: (bi // hkv, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, g, block_q, d), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, block_q, 1), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * hkv, g, tq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * hkv, g, tq_pad, 1), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=[q_spec, lse_spec],
+        out_shape=out_shape,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(qr, kr, vr, maskr)
+    )(*operands)
 
-    out = out[:, :, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
-    lse = lse[:, :, :tq, 0].reshape(b, h, tq)
+    if native:
+        if tq_pad != tq:
+            out = out[:, :tq]
+            lse = lse[:, :tq]
+        return out, lse[..., 0]  # lse (B, Tq, H), log2 domain
+    out = out.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, h, tq_pad)[:, :, :tq].transpose(0, 2, 1)
     return out, lse
 
 
@@ -222,34 +461,41 @@ def flash_attention(
     kv_mask: jnp.ndarray,  # (B, Tk) 1=valid
     causal: bool = False,
     scale: Optional[float] = None,
-    # Block sizes bound the folded (G*BQ, BK) f32 score tile, the scoped-VMEM
-    # hot spot (256/512 in the dq kernel needs 18.7 MB > the 16 MB budget).
-    # Forward and backward get separate knobs: the backward's dkv kernel
-    # keeps the full (G, Tq_pad, D) q/dout blocks resident, so it wants
-    # smaller tiles than the forward.
+    # Block sizes bound the folded (BQ*G, BK) f32 score tile, the scoped-VMEM
+    # hot spot. Forward and backward get separate knobs: the backward's dkv
+    # kernel keeps the full (Tq_pad, G, D) q/dout blocks resident, so it
+    # wants smaller tiles than the forward.
     block_q: int = 256,
     block_k: int = 256,
     bwd_block_q: Optional[int] = None,  # None -> block_q
     bwd_block_k: Optional[int] = None,  # None -> block_k
     interpret: bool = False,
+    # Optional fused RoPE: one (B, T, D/2) fp32 cos/sin table pair shared by
+    # q and k (self-attention only). Pass PRE-rotation q/k; the kernels
+    # rotate on the VMEM tiles (and counter-rotate dq/dk in the backward) —
+    # see the "fused RoPE" section above.
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
 ):
     out, _ = _flash_fwd(
         q, k, v, kv_mask, causal,
         scale if scale is not None else 1.0 / math.sqrt(q.shape[-1]),
-        block_q, block_k, interpret,
+        block_q, block_k, interpret, rope_cos, rope_sin,
     )
     return out
 
 
-def _fwd_rule(q, k, v, kv_mask, causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, interpret):
+def _fwd_rule(q, k, v, kv_mask, causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, interpret,
+              rope_cos=None, rope_sin=None):
     s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    out, lse = _flash_fwd(q, k, v, kv_mask, causal, s, block_q, block_k, interpret)
+    out, lse = _flash_fwd(q, k, v, kv_mask, causal, s, block_q, block_k, interpret,
+                          rope_cos, rope_sin)
     # name the residuals so a remat policy can elect to SAVE them — without
     # this, `jax.checkpoint` re-runs the whole flash forward inside the
     # backward just to rebuild (out, lse) (~2 ms/layer at flagship shapes)
     out_saved = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
     lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
-    return out, (q, k, v, kv_mask, out_saved, lse)
+    return out, (q, k, v, kv_mask, out_saved, lse, rope_cos, rope_sin)
 
 
 # ---------------------------------------------------------------------------
@@ -258,233 +504,324 @@ def _fwd_rule(q, k, v, kv_mask, causal, scale, block_q, block_k, bwd_block_q, bw
 
 
 def _bwd_dq_kernel(
-    q_ref,  # (1, G, BQ, D)
-    k_ref,  # (1, Tk, D)
-    v_ref,  # (1, Tk, D)
-    g_ref,  # (1, G, BQ, D)
-    lse_ref,  # (1, G, BQ, 1) fp32 (trailing-1 layout, see _fwd_kernel)
-    delta_ref,  # (1, G, BQ, 1) fp32 — rowsum(g * out)
+    q_ref,  # (1, BQ, G, D) native | (1, BQ, D) flat
+    k_ref,  # (1, 1, Tk, D) native | (1, Tk, D) flat
+    v_ref,  # like k_ref
+    g_ref,  # like q_ref
+    lse_ref,  # (1, BQ, G, 1) | (1, BQ, 1) fp32, log2 domain
+    delta_ref,  # like lse_ref — rowsum(g * out)
     mask_ref,  # (1, 1, Tk) int32
-    dq_ref,  # (1, G, BQ, D)
-    *,
+    *rest,  # [cosq (1,BQ,D2), sinq, cosk (1,Tk,D2), sink] if fused_rope,
+    #         then dq_ref (like q_ref)
     scale: float,
     causal: bool,
     block_k: int,
     q_block: int,
     groups: int,
+    fused_rope: bool = False,
 ):
-    _, _, bq, d = q_ref.shape
-    tk = k_ref.shape[1]
-    qi = pl.program_id(1)
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref = rest
+    else:
+        (dq_ref,) = rest
+    bq = q_ref.shape[1]
+    d = q_ref.shape[-1]
+    tk = k_ref.shape[-2]
+    qi = pl.program_id(2)
+
     nk = tk // block_k
     nk_dyn = jnp.minimum(nk, _cdiv((qi + 1) * q_block, block_k)) if causal else nk
 
-    # GQA fold (see _fwd_kernel): one (G*BQ, ·) matmul per key block
-    gb = groups * bq
-    q = q_ref[0].reshape(gb, d)
+    # GQA fold (see _fwd_kernel): one (BQ*G, ·) matmul per key block
+    gb = bq * groups
+    q3 = _rot_q(q_ref, cosq_ref, sinq_ref) if fused_rope else q_ref[0]
+    q = q3.reshape(gb, d)
     g2 = g_ref[0].reshape(gb, d)
-    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    lse = lse_ref[0].reshape(gb, 1)  # (G, BQ, 1) -> (G*BQ, 1), major-only
+    lse = lse_ref[0].reshape(gb, 1)
     delta = delta_ref[0].reshape(gb, 1)
+    scale2 = scale * LOG2E
+    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
 
     def body(ki, acc):
         k_start = ki * block_k
-        k_blk = k_ref[0, pl.ds(k_start, block_k), :]
-        v_blk = v_ref[0, pl.ds(k_start, block_k), :]
-        valid = mask_ref[0, :, pl.ds(k_start, block_k)] > 0
-        valid = jnp.broadcast_to(valid, (bq, block_k))
-        if causal:
-            kv_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-            q_idx = qi * q_block + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
-            valid = valid & (kv_idx <= q_idx)
-        valid_gb = jnp.broadcast_to(valid[None], (groups, bq, block_k)).reshape(
-            gb, block_k
+        k_blk = _kv_slice(k_ref, k_start, block_k)
+        v_blk = _kv_slice(v_ref, k_start, block_k)
+        if fused_rope:
+            k_blk = _rot(
+                k_blk,
+                cosk_ref[0, pl.ds(k_start, block_k), :],
+                sink_ref[0, pl.ds(k_start, block_k), :],
+            )
+        valid = _expand_rows(
+            jnp.broadcast_to(mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)),
+            groups, bq, block_k,
         )
+        if causal:
+            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k, groups)
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        # bf16 exp for bf16 inputs: see _fwd_kernel
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale2
+        # bf16 exp2 for bf16 inputs: see _fwd_kernel
         p = jnp.where(
-            valid_gb, jnp.exp((s - lse).astype(exp_dtype)), exp_dtype(0)
+            valid, jnp.exp2((s - lse).astype(exp_dtype)), exp_dtype(0)
         )
         dp = jax.lax.dot_general(
-            g2, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g2, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
         # ds feeds a same-dtype matmul anyway — multiply in that dtype
         ds = p * (dp - delta).astype(exp_dtype)
         return acc + jax.lax.dot_general(
             ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     acc = jax.lax.fori_loop(0, nk_dyn, body, jnp.zeros((gb, d), jnp.float32))
-    dq_ref[0] = (acc * scale).reshape(groups, bq, d).astype(dq_ref.dtype)
+    final = (acc * scale).reshape(dq_ref.shape[1:])
+    if fused_rope:
+        # counter-rotate: this is the grad w.r.t. ROTATED q; the primal is
+        # pre-rotation (RoPE is orthogonal, d_pre = R^T d_post)
+        cos, sin = cosq_ref[0], sinq_ref[0]
+        if final.ndim == 3:
+            cos, sin = cos[:, None, :], sin[:, None, :]
+        final = _rot_inv(final, cos, sin)
+    dq_ref[0] = final.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
-    q_ref,  # (1, G, Tq, D)
-    k_ref,  # (1, BK, D)
-    v_ref,  # (1, BK, D)
-    g_ref,  # (1, G, Tq, D)
-    lse_ref,  # (1, G, Tq, 1) (trailing-1 layout, see _fwd_kernel)
-    delta_ref,  # (1, G, Tq, 1)
+    q_ref,  # (1, Tq, G, D) native | (1, Tq, D) flat — full q for this head
+    k_ref,  # (1, 1, BK, D) native | (1, BK, D) flat
+    v_ref,  # like k_ref
+    g_ref,  # like q_ref
+    lse_ref,  # (1, Tq, G, 1) | (1, Tq, 1) fp32, log2 domain
+    delta_ref,  # like lse_ref
     mask_ref,  # (1, 1, BK)
-    dk_ref,  # (1, BK, D) — GROUP-SUMMED over the G query heads
-    dv_ref,  # (1, BK, D)
-    *,
+    *rest,  # [cosq (1,Tq,D2), sinq, cosk (1,BK,D2), sink] if fused_rope,
+    #         then dk_ref, dv_ref (like k_ref; dk GROUP-SUMMED over G)
     scale: float,
     causal: bool,
     block_q: int,
     k_block: int,
     groups: int,
+    fused_rope: bool = False,
 ):
-    _, bk, d = k_ref.shape
-    tq = q_ref.shape[2]
-    ki = pl.program_id(1)
-    k_blk = k_ref[0]
-    v_blk = v_ref[0]
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, dk_ref, dv_ref = rest
+    else:
+        dk_ref, dv_ref = rest
+    bk = k_ref.shape[-2]
+    d = k_ref.shape[-1]
+    tq = q_ref.shape[1]
+    ki = pl.program_id(2)
+    k_blk = _kv_head(k_ref)
+    if fused_rope:
+        k_blk = _rot(k_blk, cosk_ref[0], sink_ref[0])
+    v_blk = _kv_head(v_ref)
     kvalid = mask_ref[0, :, :] > 0  # (1, BK)
 
     nq = tq // block_q
     # causal: this key block only sees query blocks at/after the diagonal
     q_lo = (ki * k_block) // block_q if causal else 0
-    gbq = groups * block_q
+    gbq = block_q * groups
+    scale2 = scale * LOG2E
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
 
     def body(qi, carry):
         dk_acc, dv_acc = carry
         q_start = qi * block_q
-        valid = jnp.broadcast_to(kvalid, (block_q, k_block))
+        valid = _expand_rows(
+            jnp.broadcast_to(kvalid, (block_q, k_block)), groups, block_q, k_block
+        )
         if causal:
-            kv_idx = ki * k_block + jax.lax.broadcasted_iota(jnp.int32, (block_q, k_block), 1)
-            q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, k_block), 0)
-            valid = valid & (kv_idx <= q_idx)
+            valid = valid & _causal_valid(q_start, ki * k_block, block_q, k_block, groups)
         # GQA fold (see _fwd_kernel): the group axis joins the q rows, so the
         # per-group dk/dv sum happens INSIDE one matmul contraction over
-        # (G*BQ) instead of G accumulation steps. Zero-padded q rows are
+        # (BQ*G) instead of G accumulation steps. Zero-padded q rows are
         # harmless here: their dout rows are zero (dv), and dp=delta=0 (dk).
-        q_blk = q_ref[0, :, pl.ds(q_start, block_q), :].reshape(gbq, d)
-        g_blk = g_ref[0, :, pl.ds(q_start, block_q), :].reshape(gbq, d)
-        lse_blk = lse_ref[0, :, pl.ds(q_start, block_q), :].reshape(gbq, 1)
-        delta_blk = delta_ref[0, :, pl.ds(q_start, block_q), :].reshape(gbq, 1)
-        valid_gb = jnp.broadcast_to(valid[None], (groups, block_q, k_block)).reshape(
-            gbq, k_block
-        )
+        qb = q_ref[0, pl.ds(q_start, block_q)]
+        if fused_rope:
+            cos = cosq_ref[0, pl.ds(q_start, block_q), :]
+            sin = sinq_ref[0, pl.ds(q_start, block_q), :]
+            if qb.ndim == 3:
+                cos, sin = cos[:, None, :], sin[:, None, :]
+            qb = _rot(qb, cos, sin)
+        q_blk = qb.reshape(gbq, d)
+        g_blk = g_ref[0, pl.ds(q_start, block_q)].reshape(gbq, d)
+        lse_blk = lse_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1)
+        delta_blk = delta_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1)
         s = jax.lax.dot_general(
-            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (G*BQ, BK)
-        # bf16 exp + bf16 ds for bf16 inputs: see _fwd_kernel
+            q_blk, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale2  # (BQ*G, BK), log2 domain
+        # bf16 exp2 + bf16 ds for bf16 inputs: see _fwd_kernel
         p = jnp.where(
-            valid_gb, jnp.exp((s - lse_blk).astype(exp_dtype)), exp_dtype(0)
+            valid, jnp.exp2((s - lse_blk).astype(exp_dtype)), exp_dtype(0)
         )
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         dp = jax.lax.dot_general(
-            g_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
         ds = p * (dp - delta_blk).astype(exp_dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return dk_acc, dv_acc
 
     zero = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(q_lo, nq, body, (zero, zero))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    if fused_rope:
+        # counter-rotate dk (grad w.r.t. rotated k -> pre-rotation k)
+        dk = _rot_inv(dk, cosk_ref[0], sink_ref[0])
+    if dk_ref.ndim == 4:
+        dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    else:
+        dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, interpret):
-    """Tiled Pallas backward: dq over (B*Hkv, q-blocks), dk/dv over
-    (B*Hkv, k-blocks) with the GQA group sum folded into the dk/dv
+def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, interpret,
+               rope_cos=None, rope_sin=None):
+    """Tiled Pallas backward: dq over (B, Hkv, q-blocks), dk/dv over
+    (B, Hkv, k-blocks) with the GQA group sum folded into the dk/dv
     accumulators. P is recomputed from (q, k, lse) inside the tiles —
     nothing (Tq, Tk)-shaped ever touches HBM (round-1 weakness #2a: the XLA
     fallback materialized the full logits)."""
     b, tq, h, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
+    grp = h // hkv
+    native = _use_native(h, hkv)
+    groups = grp if native else 1
 
-    qr, kr, vr, maskr, block_q, block_k, tq_pad, tk_pad, grp, hkv = _prep(
-        q, k, v, kv_mask, block_q, block_k
-    )
-    gr = g.transpose(0, 2, 1, 3).reshape(b * hkv, grp, tq, d)
-    # delta = rowsum(dout * out): cheap elementwise in XLA
+    block_q = _pick_block_q(block_q, tq)
+    tq_pad = _round_up(tq, block_q)
+    kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
+
+    # delta = rowsum(dout * out): cheap elementwise in XLA, native layout
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Tq,H)
-    deltar = delta.transpose(0, 2, 1).reshape(b * hkv, grp, tq, 1)
-    lser = lse.reshape(b * hkv, grp, tq, 1)
-    if tq_pad != tq:
-        gr = jnp.pad(gr, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
-        deltar = jnp.pad(deltar, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
-        lser = jnp.pad(lser, ((0, 0), (0, 0), (0, tq_pad - tq), (0, 0)))
+    qp = _pad_q(q, tq_pad)
+    gp = _pad_q(g, tq_pad)
+    deltap = _pad_q(delta, tq_pad)[..., None]
+    lsep = _pad_q(lse, tq_pad)[..., None]
 
-    bm = b * hkv
+    reshape_q, q_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d)
+    _, s_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d, last=1)
+    reshape_s = reshape_q if native else (
+        lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, tq_pad, 1)
+    )
+    # full-Tq variants for the dkv pass (q-dim block index pinned to 0)
+    _, q_spec_full = _q_specs(native, b, h, hkv, grp, tq_pad, tq_pad, d, fixed=True)
+    _, s_spec_full = _q_specs(native, b, h, hkv, grp, tq_pad, tq_pad, d, last=1, fixed=True)
+    if not native:
+        kr = kr.reshape(b * hkv, tk_pad, d)
+        vr = vr.reshape(b * hkv, tk_pad, d)
+
+    qpr, gpr = reshape_q(qp), reshape_q(gp)
+    lser, deltar = reshape_s(lsep), reshape_s(deltap)
+    nheads = hkv if native else h
+    fused_rope = rope_cos is not None
+
+    dq_in_specs = [
+        q_spec_blk,
+        _kv_spec(native, hkv, grp, tk_pad, d, lambda qi: 0),
+        _kv_spec(native, hkv, grp, tk_pad, d, lambda qi: 0),
+        q_spec_blk,
+        s_spec_blk,
+        s_spec_blk,
+        _mask_spec(tk_pad, tk_pad, lambda qi: 0),
+    ]
+    dq_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
+    if fused_rope:
+        rope_ops = _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
+        dq_in_specs += _rope_specs(block_q, tk_pad, d // 2)
+        dq_operands += rope_ops
+
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, block_k=block_k,
-            q_block=block_q, groups=grp,
+            q_block=block_q, groups=groups, fused_rope=fused_rope,
         ),
-        grid=(bm, tq_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, grp, block_q, d), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, block_q, d), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, block_q, 1), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, block_q, 1), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk_pad), lambda bi, qi, hkv=hkv: (bi // hkv, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, grp, block_q, d), lambda bi, qi: (bi, 0, qi, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bm, grp, tq_pad, d), q.dtype),
+        grid=(b, nheads, tq_pad // block_q),
+        in_specs=dq_in_specs,
+        out_specs=q_spec_blk,
+        out_shape=jax.ShapeDtypeStruct(qpr.shape, q.dtype),
         compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(qr, kr, vr, gr, lser, deltar, maskr)
+    )(*dq_operands)
+
+    kv_out_shape = (
+        [jax.ShapeDtypeStruct((b, hkv, tk_pad, d), k.dtype),
+         jax.ShapeDtypeStruct((b, hkv, tk_pad, d), v.dtype)]
+        if native else
+        [jax.ShapeDtypeStruct((b * h, tk_pad, d), k.dtype),
+         jax.ShapeDtypeStruct((b * h, tk_pad, d), v.dtype)]
+    )
+    # flat path: each q head writes its own dk/dv slab (B*H) and XLA sums
+    # the G slabs per kv head afterwards; native sums in-kernel via the fold
+    dkv_kv_spec = (
+        _kv_spec(True, hkv, grp, block_k, d, lambda ki: ki) if native else
+        pl.BlockSpec((1, block_k, d), lambda bi, hq, ki, h=h: (bi * h + hq, ki, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    dkv_in_specs = [
+        q_spec_full,
+        _kv_spec(native, hkv, grp, block_k, d, lambda ki: ki),
+        _kv_spec(native, hkv, grp, block_k, d, lambda ki: ki),
+        q_spec_full,
+        s_spec_full,
+        s_spec_full,
+        _mask_spec(tk_pad, block_k, lambda ki: ki),
+    ]
+    dkv_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
+    if fused_rope:
+        dkv_in_specs += _rope_specs(
+            tq_pad, block_k, d // 2, k_block_idx=lambda ki: ki, q_fixed=True
+        )
+        dkv_operands += rope_ops
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
-            k_block=block_k, groups=grp,
+            k_block=block_k, groups=groups, fused_rope=fused_rope,
         ),
-        grid=(bm, tk_pad // block_k),
-        in_specs=[
-            pl.BlockSpec((1, grp, tq_pad, d), lambda bi, ki: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, tq_pad, d), lambda bi, ki: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, tq_pad, 1), lambda bi, ki: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grp, tq_pad, 1), lambda bi, ki: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda bi, ki, hkv=hkv: (bi // hkv, 0, ki), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bm, tk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bm, tk_pad, d), v.dtype),
-        ],
+        grid=(b, nheads, tk_pad // block_k),
+        in_specs=dkv_in_specs,
+        out_specs=[dkv_kv_spec, dkv_kv_spec],
+        out_shape=kv_out_shape,
         compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(qr, kr, vr, gr, lser, deltar, maskr)
+    )(*dkv_operands)
 
-    dq = dq[:, :, :tq].reshape(b, h, tq, d).transpose(0, 2, 1, 3)
-    dk = dk[:, :tk].reshape(b, hkv, tk, d).transpose(0, 2, 1, 3)
-    dv = dv[:, :tk].reshape(b, hkv, tk, d).transpose(0, 2, 1, 3)
+    if native:
+        if tq_pad != tq:
+            dq = dq[:, :tq]
+        dk = dk[:, :, :tk].transpose(0, 2, 1, 3)
+        dv = dv[:, :, :tk].transpose(0, 2, 1, 3)
+        return dq, dk, dv
+    dq = dq.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
+    dk = dk.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
+    dv = dv.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
     return dq, dk, dv
 
 
 def _bwd_rule(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, interpret, res, g):
-    q, k, v, kv_mask, out, lse = res
+    q, k, v, kv_mask, out, lse, rope_cos, rope_sin = res
     s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
     bq = bwd_block_q if bwd_block_q is not None else block_q
     bk = bwd_block_k if bwd_block_k is not None else block_k
     dq, dk, dv = _flash_bwd(
-        q, k, v, kv_mask, out, lse, g, causal, s, bq, bk, interpret
+        q, k, v, kv_mask, out, lse, g, causal, s, bq, bk, interpret,
+        rope_cos, rope_sin,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 flash_attention.defvjp(_fwd_rule, _bwd_rule)
