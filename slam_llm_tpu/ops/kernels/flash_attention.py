@@ -101,26 +101,24 @@ def _use_native(h: int, hkv: int) -> bool:
     return g % 8 == 0 or hkv == 1
 
 
-def _causal_valid(q0, k0, bq, bk, groups):
-    """(BQ*G, BK) bool: key k0+j visible to query q0+i//G.
-
-    Rows are (q_pos, group)-interleaved to match the in-kernel reshape of the
-    native (BQ, G, D) q block, so the q index of row r is r // G."""
-    if groups == 1:
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    else:
-        q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, groups, bk), 0).reshape(
-            bq * groups, bk
-        )
-    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (bq * groups, bk), 1)
+def _causal_valid(q0, k0, bq, bk):
+    """(BQ, BK) bool: key k0+j visible to query q0+i. Built at (BQ, BK) and
+    broadcast over the fold's group dim by ``_mask_scores`` — materializing
+    the (BQ*G, BK) mask (3.7M bools at flagship blocks) measured as real VPU
+    time."""
+    q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     return (k0 + kv_idx) <= (q0 + q_idx)
 
 
-def _expand_rows(x, groups, bq, bk):
-    """(BQ, BK) -> (BQ*G, BK) by repeating each q row for its G groups."""
+def _mask_scores(scores, valid2, groups, fill):
+    """Mask folded (BQ*G, BK) scores with a (BQ, BK) validity mask, the G
+    broadcast happening inside the (free) reshape views."""
     if groups == 1:
-        return x
-    return jnp.broadcast_to(x[:, None, :], (bq, groups, bk)).reshape(bq * groups, bk)
+        return jnp.where(valid2, scores, fill)
+    bq, bk = valid2.shape
+    s3 = scores.reshape(bq, groups, bk)
+    return jnp.where(valid2[:, None, :], s3, fill).reshape(bq * groups, bk)
 
 
 def _kv_head(ref):
@@ -154,41 +152,46 @@ def _dot_precision(dtype):
 # transpose left for XLA to fuse the rotation into, so it would otherwise
 # materialize through HBM. The backward counter-rotates dq/dk (RoPE is an
 # orthogonal rotation: d(pre) = R^T d(post)).
+#
+# Formulation: rot(x) = x*C + roll(x, D/2)*S with full-D tables
+# C = [cos, cos], S = [-sin, sin] precomputed in XLA (tiny, loop-invariant).
+# ``pltpu.roll`` is a native full-throughput lane rotate; the textbook
+# split-halves + concat on D/2 = 32 lanes measured ~240 us/call of Mosaic
+# lane-shuffle overhead. The inverse (R^T) is the same with S negated.
 # ---------------------------------------------------------------------------
 
 
-def _rot(x, cos, sin):
-    """RoPE rotation. x (..., D); cos/sin broadcastable (..., D/2), fp32.
-    Matches models.layers.apply_rope: rotate in fp32, cast back to x.dtype."""
+def _lane_roll(x):
+    """Rotate the last (lane) dim by half: [x1, x2] -> [x2, x1]."""
     d2 = x.shape[-1] // 2
-    x1 = x[..., :d2].astype(jnp.float32)
-    x2 = x[..., d2:].astype(jnp.float32)
-    return jnp.concatenate(
-        [(x1 * cos - x2 * sin).astype(x.dtype), (x2 * cos + x1 * sin).astype(x.dtype)],
-        axis=-1,
-    )
+    try:
+        return pltpu.roll(x, d2, axis=x.ndim - 1)
+    except Exception:  # interpret mode / non-Mosaic tracing
+        return jnp.roll(x, d2, axis=-1)
 
 
-def _rot_inv(x, cos, sin):
+def _rot(x, c, s):
+    """RoPE rotation. x (..., D); C/S tables broadcastable (..., D), fp32.
+    Matches models.layers.apply_rope numerics: fp32 math, cast back."""
+    x32 = x.astype(jnp.float32)
+    return (x32 * c + _lane_roll(x32) * s).astype(x.dtype)
+
+
+def _rot_inv(x, c, s):
     """Transpose (inverse) RoPE rotation, for dq/dk in the backward."""
-    d2 = x.shape[-1] // 2
-    x1 = x[..., :d2].astype(jnp.float32)
-    x2 = x[..., d2:].astype(jnp.float32)
-    return jnp.concatenate(
-        [(x1 * cos + x2 * sin).astype(x.dtype), (x2 * cos - x1 * sin).astype(x.dtype)],
-        axis=-1,
-    )
+    x32 = x.astype(jnp.float32)
+    return (x32 * c - _lane_roll(x32) * s).astype(x.dtype)
 
 
 def _rot_q(q_ref, cos_ref, sin_ref, inv=False):
-    """Rotate a q-side block. Native (1, BQ, G, D) broadcasts the (1, BQ, D2)
+    """Rotate a q-side block. Native (1, BQ, G, D) broadcasts the (1, BQ, D)
     table over G; flat (1, BQ, D) uses it directly. Returns q_ref[0]'s shape."""
     x = q_ref[0]
-    cos, sin = cos_ref[0], sin_ref[0]
-    if x.ndim == 3:  # native: (BQ, G, D), cos (BQ, D2)
-        cos, sin = cos[:, None, :], sin[:, None, :]
+    c, s = cos_ref[0], sin_ref[0]
+    if x.ndim == 3:  # native: (BQ, G, D), tables (BQ, D)
+        c, s = c[:, None, :], s[:, None, :]
     f = _rot_inv if inv else _rot
-    return f(x, cos, sin)
+    return f(x, c, s)
 
 
 # ---------------------------------------------------------------------------
@@ -248,17 +251,16 @@ def _fwd_kernel(
                 cosk_ref[0, pl.ds(k_start, block_k), :],
                 sink_ref[0, pl.ds(k_start, block_k), :],
             )
-        valid = _expand_rows(
-            jnp.broadcast_to(mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)),
-            groups, bq, block_k,
+        valid = jnp.broadcast_to(
+            mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)
         )
         if causal:
-            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k, groups)
+            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale2  # (GB, BK) f32, log2 domain
-        s = jnp.where(valid, s, NEG_INF)
+        s = _mask_scores(s, valid, groups, NEG_INF)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         # exp2 on the (BQ*G, BK) tile is the VPU hot spot (the matmuls are a
@@ -355,32 +357,38 @@ def _mask_spec(tk_pad, block, block_idx):
     )
 
 
-def _rope_specs(block_q, tk_block, d2, k_block_idx=None, q_fixed=False):
-    """[cosq, sinq, cosk, sink] BlockSpecs. The q-side table is blocked with
-    the q grid dim (or full/fixed for the dkv pass); the k-side table is full
-    (sliced by pl.ds inside the key loop) unless ``k_block_idx`` blocks it.
-    Tables depend only on (batch, position), so both layouts share specs."""
+def _rope_specs(block_q, tk_block, d, k_block_idx=None, q_fixed=False):
+    """[Cq, Sq, Ck, Sk] BlockSpecs for the full-D roll-form tables. The
+    q-side table is blocked with the q grid dim (or full/fixed for the dkv
+    pass); the k-side table is full (sliced by pl.ds inside the key loop)
+    unless ``k_block_idx`` blocks it. Tables depend only on (batch,
+    position), so both layouts share specs."""
     qix = (lambda qi: 0) if q_fixed else (lambda qi: qi)
     kix = k_block_idx if k_block_idx is not None else (lambda qi: 0)
     qspec = pl.BlockSpec(
-        (1, block_q, d2), lambda bi, kv, qi, qix=qix: (bi, qix(qi), 0),
+        (1, block_q, d), lambda bi, kv, qi, qix=qix: (bi, qix(qi), 0),
         memory_space=pltpu.VMEM,
     )
     kspec = pl.BlockSpec(
-        (1, tk_block, d2), lambda bi, kv, qi, f=kix: (bi, f(qi), 0),
+        (1, tk_block, d), lambda bi, kv, qi, f=kix: (bi, f(qi), 0),
         memory_space=pltpu.VMEM,
     )
     return [qspec, qspec, kspec, kspec]
 
 
 def _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad):
-    """[cosq, sinq, cosk, sink] operands from one (B, T, D/2) fp32 table
-    (fused rope is self-attention-only, so q and k share positions)."""
-    cq = _pad_q(rope_cos.astype(jnp.float32), tq_pad)
-    sq = _pad_q(rope_sin.astype(jnp.float32), tq_pad)
-    ck = _pad_q(rope_cos.astype(jnp.float32), tk_pad)
-    sk = _pad_q(rope_sin.astype(jnp.float32), tk_pad)
-    return [cq, sq, ck, sk]
+    """[Cq, Sq, Ck, Sk] (B, T, D) fp32 roll-form tables from the (B, T, D/2)
+    cos/sin pair: C = [cos, cos], S = [-sin, sin] (fused rope is
+    self-attention-only, so q and k share positions). Built in XLA — tiny
+    and loop-invariant, so LICM hoists them out of the layer scan."""
+    cos = rope_cos.astype(jnp.float32)
+    sin = rope_sin.astype(jnp.float32)
+    c = jnp.concatenate([cos, cos], axis=-1)
+    sgn = jnp.concatenate([-sin, sin], axis=-1)
+    cq, sq = _pad_q(c, tq_pad), _pad_q(sgn, tq_pad)
+    if tk_pad == tq_pad:
+        return [cq, sq, cq, sq]
+    return [cq, sq, _pad_q(c, tk_pad), _pad_q(sgn, tk_pad)]
 
 
 def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
@@ -428,7 +436,7 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     ]
     operands = [reshape_q(qp), kr, vr, maskr]
     if fused_rope:
-        in_specs += _rope_specs(block_q, tk_pad, d // 2)
+        in_specs += _rope_specs(block_q, tk_pad, d)
         operands += _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
     out, lse = pl.pallas_call(
         functools.partial(
@@ -553,19 +561,18 @@ def _bwd_dq_kernel(
                 cosk_ref[0, pl.ds(k_start, block_k), :],
                 sink_ref[0, pl.ds(k_start, block_k), :],
             )
-        valid = _expand_rows(
-            jnp.broadcast_to(mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)),
-            groups, bq, block_k,
+        valid = jnp.broadcast_to(
+            mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)
         )
         if causal:
-            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k, groups)
+            valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale2
         # bf16 exp2 for bf16 inputs: see _fwd_kernel
-        p = jnp.where(
-            valid, jnp.exp2((s - lse).astype(exp_dtype)), exp_dtype(0)
+        p = _mask_scores(
+            jnp.exp2((s - lse).astype(exp_dtype)), valid, groups, exp_dtype(0)
         )
         dp = jax.lax.dot_general(
             g2, v_blk, (((1,), (1,)), ((), ())),
@@ -632,11 +639,9 @@ def _bwd_dkv_kernel(
     def body(qi, carry):
         dk_acc, dv_acc = carry
         q_start = qi * block_q
-        valid = _expand_rows(
-            jnp.broadcast_to(kvalid, (block_q, k_block)), groups, block_q, k_block
-        )
+        valid = jnp.broadcast_to(kvalid, (block_q, k_block))
         if causal:
-            valid = valid & _causal_valid(q_start, ki * k_block, block_q, k_block, groups)
+            valid = valid & _causal_valid(q_start, ki * k_block, block_q, k_block)
         # GQA fold (see _fwd_kernel): the group axis joins the q rows, so the
         # per-group dk/dv sum happens INSIDE one matmul contraction over
         # (BQ*G) instead of G accumulation steps. Zero-padded q rows are
@@ -657,8 +662,8 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale2  # (BQ*G, BK), log2 domain
         # bf16 exp2 + bf16 ds for bf16 inputs: see _fwd_kernel
-        p = jnp.where(
-            valid, jnp.exp2((s - lse_blk).astype(exp_dtype)), exp_dtype(0)
+        p = _mask_scores(
+            jnp.exp2((s - lse_blk).astype(exp_dtype)), valid, groups, exp_dtype(0)
         )
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
@@ -741,7 +746,7 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     dq_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
     if fused_rope:
         rope_ops = _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
-        dq_in_specs += _rope_specs(block_q, tk_pad, d // 2)
+        dq_in_specs += _rope_specs(block_q, tk_pad, d)
         dq_operands += rope_ops
 
     dq = pl.pallas_call(
@@ -783,7 +788,7 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     dkv_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
     if fused_rope:
         dkv_in_specs += _rope_specs(
-            tq_pad, block_k, d // 2, k_block_idx=lambda ki: ki, q_fixed=True
+            tq_pad, block_k, d, k_block_idx=lambda ki: ki, q_fixed=True
         )
         dkv_operands += rope_ops
 
