@@ -235,13 +235,25 @@ def _fwd_kernel(
     # the cheaper exp2 primitive.
     gb = bq * groups
     q3 = _rot_q(q_ref, cosq_ref, sinq_ref) if fused_rope else q_ref[0]
-    q = q3.reshape(gb, d)
-    scale2 = scale * LOG2E
+    # the kernel is VPU-pass-bound on the (BQ*G, BK) score tile, not MXU
+    # -bound (~10 fp32 passes/iter measured as the whole kernel time), so:
+    # (a) the softmax scale (x log2e for exp2) is folded into q ONCE on the
+    #     small (GB, D) tile instead of a per-iteration pass over scores;
+    # (b) for bf16 inputs the WHOLE softmax chain (scores, max, sub, exp2)
+    #     runs in bf16 — 2 lanes/elem. Safety: softmax is shift-invariant,
+    #     so bf16 error in the max cancels between p and l; per-score bf16
+    #     error is ~0.4% of the logit, which only matters where p is near 1
+    #     (small |s-m| -> small absolute error) — far-from-max entries get
+    #     larger relative error on a negligible p. fp32 inputs keep the
+    #     exact f32 path.
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    scale2 = scale * LOG2E
+    q = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
     prec = _dot_precision(q_ref.dtype)
+    neg = exp_dtype(-1e30 if exp_dtype == jnp.float32 else -3e38)
 
     def body(ki, carry):
-        m_prev, l_prev, acc = carry  # (GB,1), (GB,1), (GB,D)
+        m_prev, l_prev, acc = carry  # (GB,1) exp_dtype, (GB,1) f32, (GB,D) f32
         k_start = ki * block_k
         k_blk = _kv_slice(k_ref, k_start, block_k)
         v_blk = _kv_slice(v_ref, k_start, block_k)
@@ -259,18 +271,12 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ) * scale2  # (GB, BK) f32, log2 domain
-        s = _mask_scores(s, valid, groups, NEG_INF)
+        ).astype(exp_dtype)  # (GB, BK), log2 domain (scale folded into q)
+        s = _mask_scores(s, valid, groups, neg)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        # exp2 on the (BQ*G, BK) tile is the VPU hot spot (the matmuls are a
-        # rounding error next to it on v5e); for bf16 inputs compute it in
-        # bf16 — exponent range is (-inf, 0] so bf16's 8 mantissa bits cost
-        # ~0.4% per-element error on p, inside attention's bf16 output
-        # precision. fp32 inputs keep fp32 exp2 (exact-parity path). The
-        # row-sum l accumulates in f32 either way.
-        p = jnp.exp2((s - m_new).astype(exp_dtype))
-        correction = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
         l_new = l_prev * correction + jnp.sum(
             p, axis=1, keepdims=True, dtype=jnp.float32
         )
@@ -280,14 +286,16 @@ def _fwd_kernel(
         )
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((gb, 1), NEG_INF, jnp.float32)
+    m0 = jnp.full((gb, 1), neg, exp_dtype)
     l0 = jnp.zeros((gb, 1), jnp.float32)
     acc0 = jnp.zeros((gb, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nk_dyn, body, (m0, l0, acc0))
 
     l_safe = jnp.maximum(l, 1e-30)
     out_ref[0] = (acc / l_safe).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
-    lse_ref[0] = (m + jnp.log2(l_safe)).reshape(lse_ref.shape[1:]).astype(jnp.float32)
+    lse_ref[0] = (
+        m.astype(jnp.float32) + jnp.log2(l_safe)
+    ).reshape(lse_ref.shape[1:]).astype(jnp.float32)
 
 
 def _prep_kv(k, v, kv_mask, block_k):
@@ -411,6 +419,34 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     tq_pad = _round_up(tq, block_q)
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
     qp = _pad_q(q, tq_pad)
+    fused_rope = rope_cos is not None
+
+    if _use_wide(tq_pad, tk_pad, h, hkv, d, q.dtype, block_q, block_k):
+        qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
+            b, tq_pad, tk_pad, h, hkv, d, fused_rope
+        )
+        operands = [qp, kr, vr, maskr]
+        if fused_rope:
+            operands += _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _fwd_wide_kernel, scale=scale, causal=causal, block_q=block_q,
+                block_k=block_k, groups=g, fused_rope=fused_rope,
+            ),
+            grid=(b,),
+            in_specs=[qspec, kvspec, kvspec, mspec] + ropespecs,
+            out_specs=[qspec, sspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
+                jax.ShapeDtypeStruct((b, tq_pad, h, 1), jnp.float32),
+            ],
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+            interpret=interpret,
+        )(*operands)
+        if tq_pad != tq:
+            out = out[:, :tq]
+            lse = lse[:, :tq]
+        return out, lse[..., 0]
 
     groups = g if native else 1
     reshape_q, q_spec = _q_specs(native, b, h, hkv, g, tq_pad, block_q, d)
@@ -427,7 +463,6 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
         [jax.ShapeDtypeStruct((b * h, tq_pad, d), q.dtype),
          jax.ShapeDtypeStruct((b * h, tq_pad, 1), jnp.float32)]
     )
-    fused_rope = rope_cos is not None
     in_specs = [
         q_spec,
         _kv_spec(native, hkv, g, tk_pad, d, lambda qi: 0),
@@ -459,6 +494,340 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     out = out.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
     lse = lse.reshape(b, h, tq_pad)[:, :, :tq].transpose(0, 2, 1)
     return out, lse
+
+
+
+# ---------------------------------------------------------------------------
+# wide kernels — one grid cell per BATCH element, full-H blocks
+#
+# The per-(batch, kv-head) grids above slice the H dim out of (B, T, H, D)
+# arrays, so every q/out/dout/dq block DMA is ~BQ strided ~1 KB runs; the
+# descriptor overhead (~10 us/cell x 128 cells) dwarfed both the MXU and
+# VPU time and was immune to in-kernel optimization. Wide blocks span the
+# FULL (T, H, D) suffix — one contiguous DMA per buffer — and loop over kv
+# heads / q blocks INSIDE the kernel (python over kv: static H slices; fori
+# over q blocks). Used whenever the per-buffer footprint fits VMEM
+# comfortably (flagship decoder: 1.8 MB); oversized shapes (long packed
+# sequences) fall back to the narrow grids above.
+# ---------------------------------------------------------------------------
+
+_WIDE_BYTES = 4 * 1024 * 1024
+
+
+def _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, block_q, block_k) -> bool:
+    """Wide needs (a) per-buffer VMEM fit and (b) a bounded static-unroll
+    count (the wide kernels unroll hkv x nq x nk fully — Mosaic fori_loops
+    measured ~2.8x slower than straight-line code at these trip counts)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    if tq_pad * h * d * itemsize > _WIDE_BYTES:
+        return False
+    if tk_pad * h * d * itemsize > _WIDE_BYTES:
+        return False
+    blocks = hkv * (tq_pad // block_q) * (tk_pad // block_k)
+    return blocks <= 96
+
+
+def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec):
+    """One online-softmax step over a folded (BQ*G, BK) tile.
+
+    q2 carries the (log2e-scaled) softmax scale; see the narrow kernels for
+    the bf16-chain and exp2-domain rationale."""
+    m_prev, l_prev, acc = carry
+    s_ = jax.lax.dot_general(
+        q2, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(exp_dtype)
+    s_ = _mask_scores(s_, valid, groups, neg)
+    m_cur = jnp.max(s_, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s_ - m_new)
+    correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
+    l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    acc_new = acc * correction + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    return m_new, l_new, acc_new
+
+
+def _rot_rows(x3, cos, sin, inv=False):
+    """Rotate a (BQ, G, D) value with (BQ, D) tables."""
+    f = _rot_inv if inv else _rot
+    return f(x3, cos[:, None, :], sin[:, None, :])
+
+
+def _fwd_wide_kernel(
+    q_ref,  # (1, Tq, H, D)
+    k_ref,  # (1, Hkv, Tk, D)
+    v_ref,
+    mask_ref,  # (1, 1, Tk)
+    *rest,  # [cosq (1,Tq,D), sinq, cosk (1,Tk,D), sink] if fused_rope,
+    #         then out_ref (1,Tq,H,D), lse_ref (1,Tq,H,1)
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    groups: int,
+    fused_rope: bool = False,
+):
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, out_ref, lse_ref = rest
+    else:
+        out_ref, lse_ref = rest
+    _, tq, h, d = q_ref.shape
+    hkv = h // groups
+    tk = k_ref.shape[2]
+    nq = tq // block_q
+    nk = tk // block_k
+    gb = block_q * groups
+    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    neg = exp_dtype(-1e30 if exp_dtype == jnp.float32 else -3e38)
+    prec = _dot_precision(q_ref.dtype)
+    scale2 = scale * LOG2E
+
+    # FULLY STATIC loops: a Mosaic fori_loop measured ~2.8x the statically
+    # -unrolled equivalent at these trip counts (loop-carried VMEM state +
+    # control overhead); nq/nk/hkv are all compile-time here and the
+    # dispatcher bounds the total unroll count.
+    for kv in range(hkv):  # static H slices
+        hs = slice(kv * groups, (kv + 1) * groups)
+        for qi in range(nq):
+            q0 = qi * block_q
+            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
+            if fused_rope:
+                q3 = _rot_rows(
+                    q3, cosq_ref[0, pl.ds(q0, block_q), :],
+                    sinq_ref[0, pl.ds(q0, block_q), :],
+                )
+            q2 = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+            nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
+
+            m = jnp.full((gb, 1), neg, exp_dtype)
+            l = jnp.zeros((gb, 1), jnp.float32)
+            acc = jnp.zeros((gb, d), jnp.float32)
+            for ki in range(nk_q):
+                k_start = ki * block_k
+                k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
+                v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
+                if fused_rope:
+                    k_blk = _rot(
+                        k_blk, cosk_ref[0, pl.ds(k_start, block_k), :],
+                        sink_ref[0, pl.ds(k_start, block_k), :],
+                    )
+                valid = jnp.broadcast_to(
+                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
+                )
+                if causal and k_start + block_k > q0:  # diagonal block only
+                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
+                m, l, acc = _softmax_block(
+                    q2, k_blk, v_blk, valid, (m, l, acc), groups, exp_dtype, neg, prec
+                )
+            l_safe = jnp.maximum(l, 1e-30)
+            out_ref[0, pl.ds(q0, block_q), hs, :] = (
+                (acc / l_safe).reshape(block_q, groups, d).astype(out_ref.dtype)
+            )
+            lse_ref[0, pl.ds(q0, block_q), hs, :] = (
+                (m.astype(jnp.float32) + jnp.log2(l_safe))
+                .reshape(block_q, groups, 1)
+            )
+
+
+def _bwd_dq_wide_kernel(
+    q_ref,  # (1, Tq, H, D)
+    k_ref,  # (1, Hkv, Tk, D)
+    v_ref,
+    g_ref,  # (1, Tq, H, D)
+    lse_ref,  # (1, Tq, H, 1)
+    delta_ref,  # (1, Tq, H, 1)
+    mask_ref,  # (1, 1, Tk)
+    *rest,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    groups: int,
+    fused_rope: bool = False,
+):
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref = rest
+    else:
+        (dq_ref,) = rest
+    _, tq, h, d = q_ref.shape
+    hkv = h // groups
+    tk = k_ref.shape[2]
+    nq = tq // block_q
+    nk = tk // block_k
+    gb = block_q * groups
+    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
+    scale2 = scale * LOG2E
+
+    # fully static loops: see _fwd_wide_kernel
+    for kv in range(hkv):
+        hs = slice(kv * groups, (kv + 1) * groups)
+        for qi in range(nq):
+            q0 = qi * block_q
+            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
+            cq = sq = None
+            if fused_rope:
+                cq = cosq_ref[0, pl.ds(q0, block_q), :]
+                sq = sinq_ref[0, pl.ds(q0, block_q), :]
+                q3 = _rot_rows(q3, cq, sq)
+            q2 = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+            g2 = g_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, d)
+            lse = lse_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, 1).astype(exp_dtype)
+            delta = delta_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, 1)
+            nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
+
+            acc = jnp.zeros((gb, d), jnp.float32)
+            for ki in range(nk_q):
+                k_start = ki * block_k
+                k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
+                v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
+                if fused_rope:
+                    k_blk = _rot(
+                        k_blk, cosk_ref[0, pl.ds(k_start, block_k), :],
+                        sink_ref[0, pl.ds(k_start, block_k), :],
+                    )
+                valid = jnp.broadcast_to(
+                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
+                )
+                if causal and k_start + block_k > q0:
+                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
+                s_ = jax.lax.dot_general(
+                    q2, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(exp_dtype)
+                p = _mask_scores(jnp.exp2(s_ - lse), valid, groups, exp_dtype(0))
+                dp = jax.lax.dot_general(
+                    g2, v_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                ds_ = p * (dp - delta).astype(exp_dtype)
+                acc = acc + jax.lax.dot_general(
+                    ds_.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            final = (acc * scale).reshape(block_q, groups, d)
+            if fused_rope:
+                final = _rot_rows(final, cq, sq, inv=True)
+            dq_ref[0, pl.ds(q0, block_q), hs, :] = final.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_wide_kernel(
+    q_ref,  # (1, Tq, H, D)
+    k_ref,  # (1, Hkv, Tk, D)
+    v_ref,
+    g_ref,  # (1, Tq, H, D)
+    lse_ref,  # (1, Tq, H, 1)
+    delta_ref,  # (1, Tq, H, 1)
+    mask_ref,  # (1, 1, Tk)
+    *rest,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    groups: int,
+    fused_rope: bool = False,
+):
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, dk_ref, dv_ref = rest
+    else:
+        dk_ref, dv_ref = rest
+    _, tq, h, d = q_ref.shape
+    hkv = h // groups
+    tk = k_ref.shape[2]
+    nq = tq // block_q
+    nk = tk // block_k
+    gbq = block_q * groups
+    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
+    scale2 = scale * LOG2E
+
+    # fully static loops: see _fwd_wide_kernel
+    for kv in range(hkv):
+        hs = slice(kv * groups, (kv + 1) * groups)
+        for ki in range(nk):
+            k_start = ki * block_k
+            ck = sk = None
+            k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
+            if fused_rope:
+                ck = cosk_ref[0, pl.ds(k_start, block_k), :]
+                sk = sink_ref[0, pl.ds(k_start, block_k), :]
+                k_blk = _rot(k_blk, ck, sk)
+            # scale folded into k (q must stay raw for the dk matmul)
+            k_s = (k_blk.astype(jnp.float32) * scale2).astype(k_blk.dtype)
+            v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
+            kvalid = jnp.broadcast_to(
+                mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
+            )
+            q_lo = (ki * block_k) // block_q if causal else 0
+
+            dk = jnp.zeros((block_k, d), jnp.float32)
+            dv = jnp.zeros((block_k, d), jnp.float32)
+            for qi in range(q_lo, nq):
+                q0 = qi * block_q
+                q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
+                if fused_rope:
+                    q3 = _rot_rows(
+                        q3, cosq_ref[0, pl.ds(q0, block_q), :],
+                        sinq_ref[0, pl.ds(q0, block_q), :],
+                    )
+                q_blk = q3.reshape(gbq, d)
+                g_blk = g_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, d)
+                lse_blk = (
+                    lse_ref[0, pl.ds(q0, block_q), hs, :]
+                    .reshape(gbq, 1).astype(exp_dtype)
+                )
+                delta_blk = delta_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, 1)
+                valid = kvalid
+                if causal and q0 < k_start + block_k:  # diagonal block only
+                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
+                s_ = jax.lax.dot_general(
+                    q_blk, k_s, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(exp_dtype)
+                p = _mask_scores(jnp.exp2(s_ - lse_blk), valid, groups, exp_dtype(0))
+                dv = dv + jax.lax.dot_general(
+                    p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dp = jax.lax.dot_general(
+                    g_blk, v_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                ds_ = p * (dp - delta_blk).astype(exp_dtype)
+                dk = dk + jax.lax.dot_general(
+                    ds_.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            dk = dk * scale
+            if fused_rope:
+                dk = _rot_inv(dk, ck, sk)
+            dk_ref[0, kv, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
+            dv_ref[0, kv, pl.ds(k_start, block_k), :] = dv.astype(dv_ref.dtype)
+
+
+def _wide_specs(b, tq_pad, tk_pad, h, hkv, d, rope):
+    """in_specs for the wide kernels' shared operand prefix; grid is (b,)."""
+    qspec = pl.BlockSpec(
+        (1, tq_pad, h, d), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, tq_pad, h, 1), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kvspec = pl.BlockSpec(
+        (1, hkv, tk_pad, d), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    mspec = pl.BlockSpec((1, 1, tk_pad), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+    ropespecs = []
+    if rope:
+        rq = pl.BlockSpec((1, tq_pad, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        rk = pl.BlockSpec((1, tk_pad, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        ropespecs = [rq, rq, rk, rk]
+    return qspec, sspec, kvspec, mspec, ropespecs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
@@ -540,15 +909,18 @@ def _bwd_dq_kernel(
     nk = tk // block_k
     nk_dyn = jnp.minimum(nk, _cdiv((qi + 1) * q_block, block_k)) if causal else nk
 
-    # GQA fold (see _fwd_kernel): one (BQ*G, ·) matmul per key block
+    # GQA fold (see _fwd_kernel): one (BQ*G, ·) matmul per key block.
+    # bf16 softmax chain + scale folded into q: see _fwd_kernel (here q only
+    # feeds the score matmul, so pre-scaling is safe; dq's own `* scale` is
+    # applied at the end).
     gb = bq * groups
     q3 = _rot_q(q_ref, cosq_ref, sinq_ref) if fused_rope else q_ref[0]
-    q = q3.reshape(gb, d)
-    g2 = g_ref[0].reshape(gb, d)
-    lse = lse_ref[0].reshape(gb, 1)
-    delta = delta_ref[0].reshape(gb, 1)
-    scale2 = scale * LOG2E
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    scale2 = scale * LOG2E
+    q = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+    g2 = g_ref[0].reshape(gb, d)
+    lse = lse_ref[0].reshape(gb, 1).astype(exp_dtype)
+    delta = delta_ref[0].reshape(gb, 1)
     prec = _dot_precision(q_ref.dtype)
 
     def body(ki, acc):
@@ -569,11 +941,8 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ) * scale2
-        # bf16 exp2 for bf16 inputs: see _fwd_kernel
-        p = _mask_scores(
-            jnp.exp2((s - lse).astype(exp_dtype)), valid, groups, exp_dtype(0)
-        )
+        ).astype(exp_dtype)
+        p = _mask_scores(jnp.exp2(s - lse), valid, groups, exp_dtype(0))
         dp = jax.lax.dot_general(
             g2, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
@@ -632,8 +1001,12 @@ def _bwd_dkv_kernel(
     # causal: this key block only sees query blocks at/after the diagonal
     q_lo = (ki * k_block) // block_q if causal else 0
     gbq = block_q * groups
-    scale2 = scale * LOG2E
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    # fold the (log2e-premultiplied) softmax scale into the SMALL k block —
+    # here q feeds both the score matmul and the dk accumulation, so it must
+    # stay raw; k only feeds scores (see _fwd_kernel for the bf16 rationale)
+    scale2 = scale * LOG2E
+    k_s = (k_blk.astype(jnp.float32) * scale2).astype(k_blk.dtype)
     prec = _dot_precision(q_ref.dtype)
 
     def body(qi, carry):
@@ -655,16 +1028,14 @@ def _bwd_dkv_kernel(
             qb = _rot(qb, cos, sin)
         q_blk = qb.reshape(gbq, d)
         g_blk = g_ref[0, pl.ds(q_start, block_q)].reshape(gbq, d)
-        lse_blk = lse_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1)
+        lse_blk = lse_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1).astype(exp_dtype)
         delta_blk = delta_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1)
         s = jax.lax.dot_general(
-            q_blk, k_blk, (((1,), (1,)), ((), ())),
+            q_blk, k_s, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ) * scale2  # (BQ*G, BK), log2 domain
+        ).astype(exp_dtype)  # (BQ*G, BK), log2 domain (scale folded into k)
         # bf16 exp2 + bf16 ds for bf16 inputs: see _fwd_kernel
-        p = _mask_scores(
-            jnp.exp2((s - lse_blk).astype(exp_dtype)), valid, groups, exp_dtype(0)
-        )
+        p = _mask_scores(jnp.exp2(s - lse_blk), valid, groups, exp_dtype(0))
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
@@ -716,6 +1087,49 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     gp = _pad_q(g, tq_pad)
     deltap = _pad_q(delta, tq_pad)[..., None]
     lsep = _pad_q(lse, tq_pad)[..., None]
+    fused_rope = rope_cos is not None
+
+    if _use_wide(tq_pad, tk_pad, h, hkv, d, q.dtype, block_q, block_k):
+        qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
+            b, tq_pad, tk_pad, h, hkv, d, fused_rope
+        )
+        base_ops = [qp, kr, vr, gp, lsep, deltap, maskr]
+        rope_ops = (
+            _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad) if fused_rope else []
+        )
+        base_specs = [qspec, kvspec, kvspec, qspec, sspec, sspec, mspec] + ropespecs
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_wide_kernel, scale=scale, causal=causal, block_q=block_q,
+                block_k=block_k, groups=grp, fused_rope=fused_rope,
+            ),
+            grid=(b,),
+            in_specs=base_specs,
+            out_specs=qspec,
+            out_shape=jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+            interpret=interpret,
+        )(*base_ops, *rope_ops)
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_wide_kernel, scale=scale, causal=causal, block_q=block_q,
+                block_k=block_k, groups=grp, fused_rope=fused_rope,
+            ),
+            grid=(b,),
+            in_specs=base_specs,
+            out_specs=[kvspec, kvspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hkv, tk_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((b, hkv, tk_pad, d), v.dtype),
+            ],
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+            interpret=interpret,
+        )(*base_ops, *rope_ops)
+        if tq_pad != tq:
+            dq = dq[:, :tq]
+        dk = dk[:, :, :tk].transpose(0, 2, 1, 3)
+        dv = dv[:, :, :tk].transpose(0, 2, 1, 3)
+        return dq, dk, dv
 
     reshape_q, q_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d)
     _, s_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d, last=1)
@@ -732,7 +1146,6 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     qpr, gpr = reshape_q(qp), reshape_q(gp)
     lser, deltar = reshape_s(lsep), reshape_s(deltap)
     nheads = hkv if native else h
-    fused_rope = rope_cos is not None
 
     dq_in_specs = [
         q_spec_blk,
