@@ -810,6 +810,136 @@ def _bwd_dkv_wide_kernel(
             dv_ref[0, kv, pl.ds(k_start, block_k), :] = dv.astype(dv_ref.dtype)
 
 
+
+
+def _bwd_fused_wide_kernel(
+    q_ref,  # (1, Tq, H, D)
+    k_ref,  # (1, Hkv, Tk, D)
+    v_ref,
+    g_ref,  # (1, Tq, H, D) dout
+    out_ref,  # (1, Tq, H, D) saved forward output (for in-kernel delta)
+    lse_ref,  # (1, Tq, H, 1)
+    mask_ref,  # (1, 1, Tk)
+    *rest,  # [rope tables] then dq_ref, dk_ref, dv_ref
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    groups: int,
+    fused_rope: bool = False,
+):
+    """Single-pass wide backward: the two-pass scheme re-reads q/g/kv and
+    recomputes p/ds for dq and dk/dv separately — on a chip whose effective
+    HBM bandwidth is the kernel floor, that doubles the dominant cost. Here
+    each (kv, qi, ki) tile computes p/ds ONCE and feeds all three grads;
+    dk/dv accumulate across q-blocks in VMEM-resident per-k-block carries.
+    delta = rowsum(dout * out) is computed in-kernel from the saved forward
+    output (one 29 MB read replacing an XLA pass that read 58 MB + wrote)."""
+    if fused_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        dq_ref, dk_ref, dv_ref = rest
+    _, tq, h, d = q_ref.shape
+    hkv = h // groups
+    tk = k_ref.shape[2]
+    nq = tq // block_q
+    nk = tk // block_k
+    gbq = block_q * groups
+    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    prec = _dot_precision(q_ref.dtype)
+    scale2 = scale * LOG2E
+
+    for kv in range(hkv):
+        hs = slice(kv * groups, (kv + 1) * groups)
+        # per-k-block accumulators, carried across the q loop
+        dk_acc = [jnp.zeros((block_k, d), jnp.float32) for _ in range(nk)]
+        dv_acc = [jnp.zeros((block_k, d), jnp.float32) for _ in range(nk)]
+        k_rot = []
+        v_blks = []
+        kvalids = []
+        for ki in range(nk):
+            k_start = ki * block_k
+            kb = k_ref[0, kv, pl.ds(k_start, block_k), :]
+            if fused_rope:
+                kb = _rot(
+                    kb, cosk_ref[0, pl.ds(k_start, block_k), :],
+                    sink_ref[0, pl.ds(k_start, block_k), :],
+                )
+            k_rot.append(kb)
+            v_blks.append(v_ref[0, kv, pl.ds(k_start, block_k), :])
+            kvalids.append(
+                jnp.broadcast_to(
+                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
+                )
+            )
+
+        for qi in range(nq):
+            q0 = qi * block_q
+            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
+            cq = sq = None
+            if fused_rope:
+                cq = cosq_ref[0, pl.ds(q0, block_q), :]
+                sq = sinq_ref[0, pl.ds(q0, block_q), :]
+                q3 = _rot_rows(q3, cq, sq)
+            q_blk = q3.reshape(gbq, d)
+            q_s = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gbq, d)
+            g3 = g_ref[0, pl.ds(q0, block_q), hs, :]
+            g_blk = g3.reshape(gbq, d)
+            o3 = out_ref[0, pl.ds(q0, block_q), hs, :]
+            delta_blk = jnp.sum(
+                g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True
+            ).reshape(gbq, 1)
+            lse_blk = (
+                lse_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, 1).astype(exp_dtype)
+            )
+            nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
+
+            dq_acc = jnp.zeros((gbq, d), jnp.float32)
+            for ki in range(nk_q):
+                k_start = ki * block_k
+                valid = kvalids[ki]
+                if causal and k_start + block_k > q0:
+                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
+                s_ = jax.lax.dot_general(
+                    q_s, k_rot[ki], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).astype(exp_dtype)
+                p = _mask_scores(jnp.exp2(s_ - lse_blk), valid, groups, exp_dtype(0))
+                dp = jax.lax.dot_general(
+                    g_blk, v_blks[ki], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                ds_ = (p * (dp - delta_blk).astype(exp_dtype)).astype(q_ref.dtype)
+                dq_acc = dq_acc + jax.lax.dot_general(
+                    ds_, k_rot[ki], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dk_acc[ki] = dk_acc[ki] + jax.lax.dot_general(
+                    ds_, q_blk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                dv_acc[ki] = dv_acc[ki] + jax.lax.dot_general(
+                    p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            final = (dq_acc * scale).reshape(block_q, groups, d)
+            if fused_rope:
+                final = _rot_rows(final, cq, sq, inv=True)
+            dq_ref[0, pl.ds(q0, block_q), hs, :] = final.astype(dq_ref.dtype)
+
+        for ki in range(nk):
+            k_start = ki * block_k
+            dk = dk_acc[ki] * scale
+            if fused_rope:
+                dk = _rot_inv(
+                    dk, cosk_ref[0, pl.ds(k_start, block_k), :],
+                    sink_ref[0, pl.ds(k_start, block_k), :],
+                )
+            dk_ref[0, kv, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
+            dv_ref[0, kv, pl.ds(k_start, block_k), :] = dv_acc[ki].astype(dv_ref.dtype)
+
+
 def _wide_specs(b, tq_pad, tk_pad, h, hkv, d, rope):
     """in_specs for the wide kernels' shared operand prefix; grid is (b,)."""
     qspec = pl.BlockSpec(
@@ -1081,11 +1211,8 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     tq_pad = _round_up(tq, block_q)
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
 
-    # delta = rowsum(dout * out): cheap elementwise in XLA, native layout
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Tq,H)
     qp = _pad_q(q, tq_pad)
     gp = _pad_q(g, tq_pad)
-    deltap = _pad_q(delta, tq_pad)[..., None]
     lsep = _pad_q(lse, tq_pad)[..., None]
     fused_rope = rope_cos is not None
 
@@ -1093,32 +1220,23 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
         qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
             b, tq_pad, tk_pad, h, hkv, d, fused_rope
         )
-        base_ops = [qp, kr, vr, gp, lsep, deltap, maskr]
+        outp = _pad_q(out, tq_pad)
+        base_ops = [qp, kr, vr, gp, outp, lsep, maskr]
         rope_ops = (
             _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad) if fused_rope else []
         )
-        base_specs = [qspec, kvspec, kvspec, qspec, sspec, sspec, mspec] + ropespecs
-        dq = pl.pallas_call(
+        base_specs = [qspec, kvspec, kvspec, qspec, qspec, sspec, mspec] + ropespecs
+        dq, dk, dv = pl.pallas_call(
             functools.partial(
-                _bwd_dq_wide_kernel, scale=scale, causal=causal, block_q=block_q,
-                block_k=block_k, groups=grp, fused_rope=fused_rope,
+                _bwd_fused_wide_kernel, scale=scale, causal=causal,
+                block_q=block_q, block_k=block_k, groups=grp,
+                fused_rope=fused_rope,
             ),
             grid=(b,),
             in_specs=base_specs,
-            out_specs=qspec,
-            out_shape=jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
-            compiler_params=None if interpret else _COMPILER_PARAMS,
-            interpret=interpret,
-        )(*base_ops, *rope_ops)
-        dk, dv = pl.pallas_call(
-            functools.partial(
-                _bwd_dkv_wide_kernel, scale=scale, causal=causal, block_q=block_q,
-                block_k=block_k, groups=grp, fused_rope=fused_rope,
-            ),
-            grid=(b,),
-            in_specs=base_specs,
-            out_specs=[kvspec, kvspec],
+            out_specs=[qspec, kvspec, kvspec],
             out_shape=[
+                jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
                 jax.ShapeDtypeStruct((b, hkv, tk_pad, d), k.dtype),
                 jax.ShapeDtypeStruct((b, hkv, tk_pad, d), v.dtype),
             ],
@@ -1130,6 +1248,11 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
         dk = dk[:, :, :tk].transpose(0, 2, 1, 3)
         dv = dv[:, :, :tk].transpose(0, 2, 1, 3)
         return dq, dk, dv
+
+    # delta = rowsum(dout * out): cheap elementwise in XLA (narrow path only;
+    # the fused wide kernel computes it in-kernel from the saved output)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Tq,H)
+    deltap = _pad_q(delta, tq_pad)[..., None]
 
     reshape_q, q_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d)
     _, s_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d, last=1)
