@@ -415,13 +415,14 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     g = h // hkv
     native = _use_native(h, hkv)
 
-    block_q = _pick_block_q(block_q, tq)
-    tq_pad = _round_up(tq, block_q)
+    block_q, block_k, tq_pad, tk_pad, wide = _wide_blocks(
+        tq, tk, h, hkv, d, q.dtype, block_q, block_k
+    )
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
     qp = _pad_q(q, tq_pad)
     fused_rope = rope_cos is not None
 
-    if _use_wide(tq_pad, tk_pad, h, hkv, d, q.dtype, block_q, block_k):
+    if wide:
         qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
             b, tq_pad, tk_pad, h, hkv, d, fused_rope
         )
@@ -525,6 +526,22 @@ def _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, block_q, block_k) -> bool:
         return False
     blocks = hkv * (tq_pad // block_q) * (tk_pad // block_k)
     return blocks <= 96
+
+
+def _wide_blocks(tq, tk, h, hkv, d, dtype, block_q, block_k):
+    """(block_q, block_k, tq_pad, tk_pad, wide?) — escalating block sizes up
+    to 512 if that brings the unroll count under the wide budget (long-T MHA
+    shapes like the whisper encoder want 512-blocks: 3x3 tiles not 6x6)."""
+    for req_q, req_k in ((block_q, block_k), (512, 512)):
+        bq = _pick_block_q(req_q, tq)
+        bk = min(_round_up(req_k, 128), _round_up(tk, 128))
+        tq_pad = _round_up(tq, bq)
+        tk_pad = _round_up(tk, bk)
+        if _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, bq, bk):
+            return bq, bk, tq_pad, tk_pad, True
+        if (req_q, req_k) == (block_q, block_k):
+            base = (bq, bk, tq_pad, tk_pad)
+    return base + (False,)
 
 
 def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec):
@@ -1207,8 +1224,9 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     native = _use_native(h, hkv)
     groups = grp if native else 1
 
-    block_q = _pick_block_q(block_q, tq)
-    tq_pad = _round_up(tq, block_q)
+    block_q, block_k, tq_pad, tk_pad, wide = _wide_blocks(
+        tq, tk, h, hkv, d, q.dtype, block_q, block_k
+    )
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
 
     qp = _pad_q(q, tq_pad)
@@ -1216,7 +1234,7 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     lsep = _pad_q(lse, tq_pad)[..., None]
     fused_rope = rope_cos is not None
 
-    if _use_wide(tq_pad, tk_pad, h, hkv, d, q.dtype, block_q, block_k):
+    if wide:
         qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
             b, tq_pad, tk_pad, h, hkv, d, fused_rope
         )
