@@ -181,8 +181,16 @@ class Attention(nn.Module):
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
             )
-            k, v = cache_k, cache_v
             new_cache = (cache_k, cache_v)
+            if t > 1 and bias is None:
+                # structured prefill: the fresh k/v ARE the cache prefix
+                # [0, t) just written, and everything past it is masked
+                # anyway — attending them directly keeps tq == tk so the
+                # causal+kv_mask form lowers to the flash kernel instead of
+                # a dense (B, 1, T, max_len) bias through the XLA path
+                pass
+            else:
+                k, v = cache_k, cache_v
 
         if c.peft_method == "prefix" and c.prefix_tokens > 0:
             # prefix tuning: learnable post-RoPE KV slots prepended per layer
@@ -457,14 +465,14 @@ class CausalLM(nn.Module):
         """Write the prompt into the cache at offset 0; return last-pos logits."""
         if positions is None:
             positions = _positions_from_mask(attention_mask)
-        t = inputs_embeds.shape[1]
-        max_len = cache["k"].shape[2]
-        # bias over full cache length: causal within [0, t), mask the tail
-        causal = make_causal_bias(attention_mask)  # (B,1,T,T)
-        tail = jnp.full((attention_mask.shape[0], 1, t, max_len - t), NEG_INF, jnp.float32)
-        bias = jnp.concatenate([causal, tail], axis=-1)
+        # structured (kv_mask, causal) instead of a dense (B, 1, T, max_len)
+        # bias: the attention layers attend the fresh k/v (== the cache
+        # prefix being written), which keeps tq == tk and lowers to the
+        # Pallas flash kernel on TPU — the cache tail never participates
         x = inputs_embeds.astype(self.cfg.dtype)
-        x, cache = self.decoder(x, bias, positions, cache, jnp.int32(0))
+        x, cache = self.decoder(
+            x, None, positions, cache, jnp.int32(0), kv_mask=attention_mask
+        )
         x = self.final_norm(x)
         return self._head(x), cache
 
