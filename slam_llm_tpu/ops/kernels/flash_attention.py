@@ -991,7 +991,10 @@ def flash_attention(
     # wants smaller tiles than the forward.
     block_q: int = 256,
     block_k: int = 256,
-    bwd_block_q: Optional[int] = None,  # None -> block_q
+    # swept on v5e at the flagship shape: the fused backward holds more live
+    # tiles per (kv, qi) step, so it wants smaller q blocks (112/256 beat
+    # 224/256 by ~7%)
+    bwd_block_q: Optional[int] = 128,  # None -> block_q
     bwd_block_k: Optional[int] = None,  # None -> block_k
     interpret: bool = False,
     # Optional fused RoPE: one (B, T, D/2) fp32 cos/sin table pair shared by
