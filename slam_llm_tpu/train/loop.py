@@ -127,6 +127,7 @@ def train(
         logger.log(val, step, prefix="valid")
         results["final_val"] = val
         if tc.save_model and (val["loss"] < best_val_loss or not results["checkpoints"]):
+            best_val_loss = min(best_val_loss, float(val["loss"]))
             ckpt = _save_checkpoint(trainer, state, tc, tc.num_epochs - 1, step)
             results["checkpoints"].append(ckpt)
     elif tc.save_model:

@@ -108,7 +108,12 @@ def load_trainable_into(params: Any, path: str) -> Any:
             saved = flat_saved[key]
             if saved.shape != x.shape:
                 raise ValueError(f"shape mismatch for {key}: {saved.shape} vs {x.shape}")
-            return jax.numpy.asarray(saved, dtype=x.dtype)
+            val = jax.numpy.asarray(saved, dtype=x.dtype)
+            # keep the target's mesh sharding: a bare asarray lands on one
+            # device and poisons later jits with mixed shardings (surfaced
+            # by stage-resume under a multi-device mesh)
+            sharding = getattr(x, "sharding", None)
+            return jax.device_put(val, sharding) if sharding is not None else val
         return x
 
     out = jax.tree_util.tree_map_with_path(maybe_replace, params)
