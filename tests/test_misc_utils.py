@@ -171,3 +171,37 @@ def test_similar_captions_prompt_injection(tmp_path):
         i for i in item["input_ids"][item["audio_length"]:] if 0 <= i < 256
     ).decode("utf-8", errors="ignore")
     assert "dogs bark loudly" in text and "a dog barks" in text
+
+
+def test_number_to_words_roundtrip():
+    """digits->words must invert textnorm's words->number parsing."""
+    from slam_llm_tpu.utils.preprocess_text import number_to_words
+    from slam_llm_tpu.utils.textnorm import normalize_numbers
+
+    for n in [0, 7, 13, 20, 21, 45, 99, 100, 101, 123, 999, 1000, 1006,
+              2024, 15000, 1000000, 2000003]:
+        words = number_to_words(n)
+        back = normalize_numbers(words)
+        # multi-word numbers convert back to digits; single-word ones
+        # ("seven") stay words by design — check digits where converted
+        if any(ch.isdigit() for ch in back):
+            assert back.strip() == str(n), (n, words, back)
+
+
+def test_digits_to_words_tokens_only():
+    from slam_llm_tpu.utils.preprocess_text import digits_to_words
+
+    assert digits_to_words("i saw 2 cats") == "i saw two cats"
+    assert digits_to_words("room 42nd floor 4.5") == "room 42nd floor 4.5"
+
+
+def test_kaldi_uppercase(tmp_path):
+    from slam_llm_tpu.utils.preprocess_text import preprocess_file
+
+    src = tmp_path / "in.tsv"
+    src.write_text("u1\t<|en|>Hello, world! it's 3 pm.\nu2\t\n")
+    dst = tmp_path / "out.txt"
+    preprocess_file(str(src), str(dst), num2word=True)
+    lines = dst.read_text().splitlines()
+    assert lines[0] == "u1 ENHELLO WORLD IT'S THREE PM"
+    assert lines[1] == "u2  "
