@@ -53,6 +53,10 @@ def load_video_gray(path: str, train: bool = False, rng=None) -> np.ndarray:
     else:
         y0, x0 = (h - CROP) // 2, (w - CROP) // 2
     v = v[:, y0 : y0 + CROP, x0 : x0 + CROP]
+    if train and rng is not None and rng.uniform() < 0.5:
+        # RandomHorizontalFlip(0.5) train augmentation (reference
+        # datasets/vision_transform.py:97, avhubert_dataset pipeline)
+        v = v[:, :, ::-1]
     return (v - MEAN) / STD
 
 
