@@ -439,7 +439,7 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
             out_specs=[qspec, sspec],
             out_shape=[
                 jax.ShapeDtypeStruct((b, tq_pad, h, d), q.dtype),
-                jax.ShapeDtypeStruct((b, tq_pad, h, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, tq_pad, h), jnp.float32),
             ],
             compiler_params=None if interpret else _COMPILER_PARAMS,
             interpret=interpret,
@@ -447,7 +447,7 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
         if tq_pad != tq:
             out = out[:, :tq]
             lse = lse[:, :tq]
-        return out, lse[..., 0]
+        return out, lse  # lse (B, Tq, H), log2 domain
 
     groups = g if native else 1
     reshape_q, q_spec = _q_specs(native, b, h, hkv, g, tq_pad, block_q, d)
@@ -491,10 +491,10 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
         if tq_pad != tq:
             out = out[:, :tq]
             lse = lse[:, :tq]
-        return out, lse[..., 0]  # lse (B, Tq, H), log2 domain
+        return out, lse[..., 0]  # (B, Tq, H), log2 domain
     out = out.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
     lse = lse.reshape(b, h, tq_pad)[:, :, :tq].transpose(0, 2, 1)
-    return out, lse
+    return out, lse  # (B, Tq, H)
 
 
 
@@ -528,16 +528,25 @@ def _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, block_q, block_k) -> bool:
     return blocks <= 96
 
 
-def _wide_blocks(tq, tk, h, hkv, d, dtype, block_q, block_k):
+def _wide_blocks(tq, tk, h, hkv, d, dtype, block_q, block_k, budget=96):
     """(block_q, block_k, tq_pad, tk_pad, wide?) — escalating block sizes up
     to 512 if that brings the unroll count under the wide budget (long-T MHA
-    shapes like the whisper encoder want 512-blocks: 3x3 tiles not 6x6)."""
+    shapes like the whisper encoder want 512-blocks: 3x3 tiles not 6x6).
+
+    ``budget`` bounds the fully-unrolled tile count. The fused BACKWARD gets
+    a tighter budget than the forward: each of its tiles carries ~5 matmuls
+    + rope, and Mosaic compile time grows superlinearly — the 54-tile
+    whisper-shape backward did not finish compiling in 20 minutes, while
+    its 54-tile forward takes ~4."""
     for req_q, req_k in ((block_q, block_k), (512, 512)):
         bq = _pick_block_q(req_q, tq)
         bk = min(_round_up(req_k, 128), _round_up(tk, 128))
         tq_pad = _round_up(tq, bq)
         tk_pad = _round_up(tk, bk)
-        if _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, bq, bk):
+        if (
+            _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, bq, bk)
+            and hkv * (tq_pad // bq) * (tk_pad // bk) <= budget
+        ):
             return bq, bk, tq_pad, tk_pad, True
         if (req_q, req_k) == (block_q, block_k):
             base = (bq, bk, tq_pad, tk_pad)
@@ -579,7 +588,8 @@ def _fwd_wide_kernel(
     v_ref,
     mask_ref,  # (1, 1, Tk)
     *rest,  # [cosq (1,Tq,D), sinq, cosk (1,Tk,D), sink] if fused_rope,
-    #         then out_ref (1,Tq,H,D), lse_ref (1,Tq,H,1)
+    #         then out_ref (1,Tq,H,D), lse_ref (1,Tq,H) (H minor — see
+    #         _wide_specs)
     scale: float,
     causal: bool,
     block_q: int,
@@ -643,190 +653,10 @@ def _fwd_wide_kernel(
             out_ref[0, pl.ds(q0, block_q), hs, :] = (
                 (acc / l_safe).reshape(block_q, groups, d).astype(out_ref.dtype)
             )
-            lse_ref[0, pl.ds(q0, block_q), hs, :] = (
+            lse_ref[0, pl.ds(q0, block_q), hs] = (
                 (m.astype(jnp.float32) + jnp.log2(l_safe))
-                .reshape(block_q, groups, 1)
+                .reshape(block_q, groups)
             )
-
-
-def _bwd_dq_wide_kernel(
-    q_ref,  # (1, Tq, H, D)
-    k_ref,  # (1, Hkv, Tk, D)
-    v_ref,
-    g_ref,  # (1, Tq, H, D)
-    lse_ref,  # (1, Tq, H, 1)
-    delta_ref,  # (1, Tq, H, 1)
-    mask_ref,  # (1, 1, Tk)
-    *rest,
-    scale: float,
-    causal: bool,
-    block_q: int,
-    block_k: int,
-    groups: int,
-    fused_rope: bool = False,
-):
-    if fused_rope:
-        cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref = rest
-    else:
-        (dq_ref,) = rest
-    _, tq, h, d = q_ref.shape
-    hkv = h // groups
-    tk = k_ref.shape[2]
-    nq = tq // block_q
-    nk = tk // block_k
-    gb = block_q * groups
-    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    prec = _dot_precision(q_ref.dtype)
-    scale2 = scale * LOG2E
-
-    # fully static loops: see _fwd_wide_kernel
-    for kv in range(hkv):
-        hs = slice(kv * groups, (kv + 1) * groups)
-        for qi in range(nq):
-            q0 = qi * block_q
-            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
-            cq = sq = None
-            if fused_rope:
-                cq = cosq_ref[0, pl.ds(q0, block_q), :]
-                sq = sinq_ref[0, pl.ds(q0, block_q), :]
-                q3 = _rot_rows(q3, cq, sq)
-            q2 = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
-            g2 = g_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, d)
-            lse = lse_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, 1).astype(exp_dtype)
-            delta = delta_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, 1)
-            nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
-
-            acc = jnp.zeros((gb, d), jnp.float32)
-            for ki in range(nk_q):
-                k_start = ki * block_k
-                k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
-                v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
-                if fused_rope:
-                    k_blk = _rot(
-                        k_blk, cosk_ref[0, pl.ds(k_start, block_k), :],
-                        sink_ref[0, pl.ds(k_start, block_k), :],
-                    )
-                valid = jnp.broadcast_to(
-                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
-                )
-                if causal and k_start + block_k > q0:
-                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
-                s_ = jax.lax.dot_general(
-                    q2, k_blk, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                ).astype(exp_dtype)
-                p = _mask_scores(jnp.exp2(s_ - lse), valid, groups, exp_dtype(0))
-                dp = jax.lax.dot_general(
-                    g2, v_blk, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-                ds_ = p * (dp - delta).astype(exp_dtype)
-                acc = acc + jax.lax.dot_general(
-                    ds_.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-
-            final = (acc * scale).reshape(block_q, groups, d)
-            if fused_rope:
-                final = _rot_rows(final, cq, sq, inv=True)
-            dq_ref[0, pl.ds(q0, block_q), hs, :] = final.astype(dq_ref.dtype)
-
-
-def _bwd_dkv_wide_kernel(
-    q_ref,  # (1, Tq, H, D)
-    k_ref,  # (1, Hkv, Tk, D)
-    v_ref,
-    g_ref,  # (1, Tq, H, D)
-    lse_ref,  # (1, Tq, H, 1)
-    delta_ref,  # (1, Tq, H, 1)
-    mask_ref,  # (1, 1, Tk)
-    *rest,
-    scale: float,
-    causal: bool,
-    block_q: int,
-    block_k: int,
-    groups: int,
-    fused_rope: bool = False,
-):
-    if fused_rope:
-        cosq_ref, sinq_ref, cosk_ref, sink_ref, dk_ref, dv_ref = rest
-    else:
-        dk_ref, dv_ref = rest
-    _, tq, h, d = q_ref.shape
-    hkv = h // groups
-    tk = k_ref.shape[2]
-    nq = tq // block_q
-    nk = tk // block_k
-    gbq = block_q * groups
-    exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    prec = _dot_precision(q_ref.dtype)
-    scale2 = scale * LOG2E
-
-    # fully static loops: see _fwd_wide_kernel
-    for kv in range(hkv):
-        hs = slice(kv * groups, (kv + 1) * groups)
-        for ki in range(nk):
-            k_start = ki * block_k
-            ck = sk = None
-            k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
-            if fused_rope:
-                ck = cosk_ref[0, pl.ds(k_start, block_k), :]
-                sk = sink_ref[0, pl.ds(k_start, block_k), :]
-                k_blk = _rot(k_blk, ck, sk)
-            # scale folded into k (q must stay raw for the dk matmul)
-            k_s = (k_blk.astype(jnp.float32) * scale2).astype(k_blk.dtype)
-            v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
-            kvalid = jnp.broadcast_to(
-                mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
-            )
-            q_lo = (ki * block_k) // block_q if causal else 0
-
-            dk = jnp.zeros((block_k, d), jnp.float32)
-            dv = jnp.zeros((block_k, d), jnp.float32)
-            for qi in range(q_lo, nq):
-                q0 = qi * block_q
-                q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
-                if fused_rope:
-                    q3 = _rot_rows(
-                        q3, cosq_ref[0, pl.ds(q0, block_q), :],
-                        sinq_ref[0, pl.ds(q0, block_q), :],
-                    )
-                q_blk = q3.reshape(gbq, d)
-                g_blk = g_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, d)
-                lse_blk = (
-                    lse_ref[0, pl.ds(q0, block_q), hs, :]
-                    .reshape(gbq, 1).astype(exp_dtype)
-                )
-                delta_blk = delta_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, 1)
-                valid = kvalid
-                if causal and q0 < k_start + block_k:  # diagonal block only
-                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
-                s_ = jax.lax.dot_general(
-                    q_blk, k_s, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                ).astype(exp_dtype)
-                p = _mask_scores(jnp.exp2(s_ - lse_blk), valid, groups, exp_dtype(0))
-                dv = dv + jax.lax.dot_general(
-                    p.astype(g_blk.dtype), g_blk, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-                dp = jax.lax.dot_general(
-                    g_blk, v_blk, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-                ds_ = p * (dp - delta_blk).astype(exp_dtype)
-                dk = dk + jax.lax.dot_general(
-                    ds_.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-
-            dk = dk * scale
-            if fused_rope:
-                dk = _rot_inv(dk, ck, sk)
-            dk_ref[0, kv, pl.ds(k_start, block_k), :] = dk.astype(dk_ref.dtype)
-            dv_ref[0, kv, pl.ds(k_start, block_k), :] = dv.astype(dv_ref.dtype)
-
-
 
 
 def _bwd_fused_wide_kernel(
@@ -835,7 +665,7 @@ def _bwd_fused_wide_kernel(
     v_ref,
     g_ref,  # (1, Tq, H, D) dout
     out_ref,  # (1, Tq, H, D) saved forward output (for in-kernel delta)
-    lse_ref,  # (1, Tq, H, 1)
+    lse_ref,  # (1, Tq, H) fp32, log2 domain (H minor, see _wide_specs)
     mask_ref,  # (1, 1, Tk)
     *rest,  # [rope tables] then dq_ref, dk_ref, dv_ref
     scale: float,
@@ -903,12 +733,16 @@ def _bwd_fused_wide_kernel(
             g3 = g_ref[0, pl.ds(q0, block_q), hs, :]
             g_blk = g3.reshape(gbq, d)
             o3 = out_ref[0, pl.ds(q0, block_q), hs, :]
-            delta_blk = jnp.sum(
+            # row stats in 3D (BQ, G, 1) form: (BQ, G) -> (BQ*G, 1) is a
+            # lane-crossing shape cast Mosaic rejects, while reshapes that
+            # keep the lane dim (merging BQ, G on folded (BQ, G, BK) tiles)
+            # are free views
+            delta3 = jnp.sum(
                 g3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True
-            ).reshape(gbq, 1)
-            lse_blk = (
-                lse_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, 1).astype(exp_dtype)
-            )
+            )  # (BQ, G, 1)
+            lse3 = lse_ref[0, pl.ds(q0, block_q), hs][
+                :, :, None
+            ].astype(exp_dtype)  # (BQ, G, 1)
             nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
 
             dq_acc = jnp.zeros((gbq, d), jnp.float32)
@@ -917,16 +751,22 @@ def _bwd_fused_wide_kernel(
                 valid = kvalids[ki]
                 if causal and k_start + block_k > q0:
                     valid = valid & _causal_valid(q0, k_start, block_q, block_k)
-                s_ = jax.lax.dot_general(
+                s3 = jax.lax.dot_general(
                     q_s, k_rot[ki], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
-                ).astype(exp_dtype)
-                p = _mask_scores(jnp.exp2(s_ - lse_blk), valid, groups, exp_dtype(0))
-                dp = jax.lax.dot_general(
+                ).astype(exp_dtype).reshape(block_q, groups, block_k)
+                p3 = jnp.where(
+                    valid[:, None, :], jnp.exp2(s3 - lse3), exp_dtype(0)
+                )
+                p = p3.reshape(gbq, block_k)
+                dp3 = jax.lax.dot_general(
                     g_blk, v_blks[ki], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
+                ).reshape(block_q, groups, block_k)
+                ds_ = (
+                    (p3 * (dp3 - delta3).astype(exp_dtype))
+                    .reshape(gbq, block_k).astype(q_ref.dtype)
                 )
-                ds_ = (p * (dp - delta_blk).astype(exp_dtype)).astype(q_ref.dtype)
                 dq_acc = dq_acc + jax.lax.dot_general(
                     ds_, k_rot[ki], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -958,12 +798,21 @@ def _bwd_fused_wide_kernel(
 
 
 def _wide_specs(b, tq_pad, tk_pad, h, hkv, d, rope):
-    """in_specs for the wide kernels' shared operand prefix; grid is (b,)."""
+    """in_specs for the wide kernels' shared operand prefix; grid is (b,).
+
+    Softmax stats (lse) live as (B, Tq, H) — H minor. The naive
+    (B, Tq, H, 1) layout lane-pads the trailing 1 to 128, inflating the fp32
+    stats ~130x (to ~117 MB at the flagship shape); written by every forward
+    and re-read by every backward, that padding alone was most of the
+    kernels' wall time and made every compute-side optimization a no-op.
+    H-minor costs only the H->128 lane pad (~4x of ~1 MB) and, unlike a
+    T-minor layout, needs no in-kernel transposes (which degenerate to
+    lane-1 vectors and stall Mosaic when G == 1)."""
     qspec = pl.BlockSpec(
         (1, tq_pad, h, d), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
     )
     sspec = pl.BlockSpec(
-        (1, tq_pad, h, 1), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, tq_pad, h), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     kvspec = pl.BlockSpec(
         (1, hkv, tk_pad, d), lambda bi: (bi, 0, 0, 0), memory_space=pltpu.VMEM
@@ -1228,13 +1077,13 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     groups = grp if native else 1
 
     block_q, block_k, tq_pad, tk_pad, wide = _wide_blocks(
-        tq, tk, h, hkv, d, q.dtype, block_q, block_k
+        tq, tk, h, hkv, d, q.dtype, block_q, block_k, budget=32
     )
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
 
     qp = _pad_q(q, tq_pad)
     gp = _pad_q(g, tq_pad)
-    lsep = _pad_q(lse, tq_pad)[..., None]
+    lsep = _pad_q(lse, tq_pad)  # (B, Tq_pad, H), H minor (see _wide_specs)
     fused_rope = rope_cos is not None
 
     if wide:
@@ -1274,6 +1123,9 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     # the fused wide kernel computes it in-kernel from the saved output)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,Tq,H)
     deltap = _pad_q(delta, tq_pad)[..., None]
+    # narrow kernels consume (B, Tq, H, 1)-style blocks (rare huge-T
+    # fallback shapes)
+    lsep = lsep[..., None]
 
     reshape_q, q_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d)
     _, s_spec_blk = _q_specs(native, b, h, hkv, grp, tq_pad, block_q, d, last=1)
