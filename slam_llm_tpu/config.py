@@ -129,6 +129,12 @@ class TrainConfig:
     max_steps_per_epoch: int = -1  # debug: cap steps
     log_interval: int = 5
     specaug: bool = False
+    # Storage dtype for the FROZEN subtree (base LLM + encoder). fp32 masters
+    # only matter for params the optimizer updates; keeping frozen weights
+    # fp32 doubles their HBM footprint AND their read bandwidth in every
+    # matmul (the bf16 cast fuses into each dot). Trainable params always
+    # keep fp32 masters.
+    frozen_dtype: str = "bfloat16"  # bfloat16 | float32
 
 
 @dataclass

@@ -24,6 +24,7 @@ from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -156,9 +157,22 @@ class Attention(nn.Module):
         q_proj = self._dense("q_proj", c.n_heads * c.head_dim)
         k_proj = self._dense("k_proj", c.n_kv_heads * c.head_dim)
         v_proj = self._dense("v_proj", c.n_kv_heads * c.head_dim)
-        q = q_proj(x, deterministic).reshape(b, t, c.n_heads, c.head_dim)
-        k = k_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
-        v = v_proj(x, deterministic).reshape(b, t, c.n_kv_heads, c.head_dim)
+        # checkpoint_name BEFORE the head-split reshape: the flat (B, T, H*D)
+        # projection outputs are lane-dense, while saving (B, T, H, 64)
+        # residuals pads D=64 lanes to 128 (2x HBM) when stacked across the
+        # layer scan. Under `min_saves` these three (plus gate/up and the
+        # flash kernel residuals) are ALL the backward needs — o_proj and
+        # down_proj outputs feed residual adds whose vjp never reads them.
+        _name = jax.ad_checkpoint.checkpoint_name
+        q = _name(q_proj(x, deterministic), "attn_q").reshape(
+            b, t, c.n_heads, c.head_dim
+        )
+        k = _name(k_proj(x, deterministic), "attn_k").reshape(
+            b, t, c.n_kv_heads, c.head_dim
+        )
+        v = _name(v_proj(x, deterministic), "attn_v").reshape(
+            b, t, c.n_kv_heads, c.head_dim
+        )
         # RoPE: the training path hands the (cos, sin) tables to
         # mha_attention so the Pallas kernel rotates q/k on its VMEM tiles
         # (fused rope — layers.rope_tables docstring has the why). The
@@ -260,6 +274,10 @@ class Attention(nn.Module):
 
         out = out.reshape(b, t, c.n_heads * c.head_dim)
         out = self._dense("o_proj", c.d_model)(out, deterministic)
+        # saved under `min_saves`: the post-attention norm's vjp reads the
+        # mid-layer residual (x + out), so dropping this would force a full
+        # o_proj dot recompute per layer just to rebuild it
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_o")
         return out, new_cache
 
 
@@ -281,6 +299,10 @@ class MLP(nn.Module):
             features=c.ffn_dim, kernel_axes=("embed", "mlp"),
             lora_rank=c.lora_rank if "up_proj" in c.lora_targets else 0, name="up_proj",
         )(x, deterministic)
+        # named for the `min_saves` remat policy: the silu/mul vjp needs both
+        # VALUES, and recomputing them would cost 2 full dots per layer
+        gate = jax.ad_checkpoint.checkpoint_name(gate, "mlp_gate")
+        up = jax.ad_checkpoint.checkpoint_name(up, "mlp_up")
         h = nn.silu(gate) * up
         return dense(
             features=c.d_model, kernel_axes=("mlp", "embed"),
@@ -382,6 +404,23 @@ def _remat_policy(name: str):
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_saveable,
             jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
+        )
+    if name == "min_saves":
+        # exactly what the backward reads, nothing more: q/k/v projections
+        # (flash bwd kernel inputs, saved lane-dense pre-head-split),
+        # gate/up (silu·mul vjp values), o_proj output (the post-attn norm's
+        # vjp reads the mid-layer residual), and the flash residuals. Vs
+        # dots_saveable this drops the down_proj output (feeds a residual
+        # add whose vjp never uses the value) and the LoRA delta dots
+        # (d_delta = dy·scale needs no values) — ~150 MB/layer of save
+        # traffic at flagship shapes with zero recompute FLOPs added
+        # (elementwise norm recompute only). MEASURED on v5e at the flagship
+        # shape: slower than dots_flash_saveable (54.5 vs 56.4 utt/s) and
+        # heavier (16.8 vs 16.1 G at B=32) — XLA's remat scheduling does
+        # worse with the narrower save set; kept as an option, not default.
+        return jax.checkpoint_policies.save_only_these_names(
+            "attn_q", "attn_k", "attn_v", "attn_o", "mlp_gate", "mlp_up",
+            "flash_out", "flash_lse",
         )
     return jax.checkpoint_policies.nothing_saveable
 

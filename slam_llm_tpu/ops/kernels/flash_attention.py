@@ -868,10 +868,18 @@ def _fwd_rule(q, k, v, kv_mask, causal, scale, block_q, block_k, bwd_block_q, bw
                           rope_cos, rope_sin)
     # name the residuals so a remat policy can elect to SAVE them — without
     # this, `jax.checkpoint` re-runs the whole flash forward inside the
-    # backward just to rebuild (out, lse) (~2 ms/layer at flagship shapes)
-    out_saved = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
-    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
-    return out, (q, k, v, kv_mask, out_saved, lse, rope_cos, rope_sin)
+    # backward just to rebuild (out, lse) (~2 ms/layer at flagship shapes).
+    # Save both in LANE-DENSE flattened form: head-split (B, T, H, 64) pads
+    # D=64 lanes to 128 (2.0x HBM) and (B, T, H=32) pads H to 128 (4.0x)
+    # when stacked across the layer scan; (B, T, H*D) / (B, T*H) are dense.
+    b, tq, h, d = out.shape
+    out_saved = jax.ad_checkpoint.checkpoint_name(
+        out.reshape(b, tq, h * d), "flash_out"
+    )
+    lse_saved = jax.ad_checkpoint.checkpoint_name(
+        lse.reshape(b, tq * h), "flash_lse"
+    )
+    return out, (q, k, v, kv_mask, out_saved, lse_saved, rope_cos, rope_sin)
 
 
 # ---------------------------------------------------------------------------
@@ -1228,6 +1236,9 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
 
 def _bwd_rule(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, interpret, res, g):
     q, k, v, kv_mask, out, lse, rope_cos, rope_sin = res
+    b, tq, h, d = q.shape
+    out = out.reshape(b, tq, h, d)  # residuals stored flat — see _fwd_rule
+    lse = lse.reshape(b, tq, h)
     s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
     bq = bwd_block_q if bwd_block_q is not None else block_q
     bk = bwd_block_k if bwd_block_k is not None else block_k

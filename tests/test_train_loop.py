@@ -74,3 +74,37 @@ def test_no_cap_runs_full_loader():
     state = {"step": np.int32(0)}
     res = train(tr, state, _loader(4), train_config=tc)
     assert int(res["state"]["step"]) == 12
+
+
+def test_min_saves_policy_grads_match_default():
+    """`min_saves` changes WHAT remat stores, never the math: gradients must
+    be bit-comparable to the default dots_flash_saveable policy."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_llm_tpu.models.llm import CausalLM, LLMConfig
+
+    base = LLMConfig.tiny_test()
+    ids = jnp.array([[3, 5, 7, 9, 2, 4, 6, 8]])
+    mask = jnp.ones((1, 8), jnp.int32)
+
+    grads = {}
+    for pol in ("dots_flash_saveable", "min_saves"):
+        cfg = dataclasses.replace(base, remat=True, remat_policy=pol, lora_rank=2)
+        m = CausalLM(cfg)
+        params = m.init(jax.random.PRNGKey(0), ids, mask, method="init_all")
+
+        def loss_fn(p):
+            embeds = m.apply(p, ids, method="embed")
+            logits = m.apply(p, embeds, mask)
+            return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+        grads[pol] = jax.grad(loss_fn)(params)
+
+    a = jax.tree_util.tree_leaves(grads["dots_flash_saveable"])
+    b = jax.tree_util.tree_leaves(grads["min_saves"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert jnp.allclose(x, y, atol=1e-6), float(jnp.abs(x - y).max())
