@@ -85,8 +85,15 @@ def causal_lm_loss_and_accuracy(
     shift_labels = labels[:, 1:]
     mask = (shift_labels != IGNORE_INDEX).astype(jnp.float32)
     safe_labels = jnp.maximum(shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # nll = logsumexp - label logit, WITHOUT materializing the full (B, T, V)
+    # log_softmax output — at flagship shapes that buffer is 1.4 GB fp32 and
+    # its standalone `logits - lse` sub measured 3.2 ms/step; the reduce and
+    # the gather read the logits directly instead
+    lse = jax.scipy.special.logsumexp(shift_logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        shift_logits, safe_labels[..., None], axis=-1
+    )[..., 0]
+    nll = lse - label_logit
     denom = jnp.maximum(mask.sum(), 1.0)
     loss = (nll * mask).sum() / denom
     preds = jnp.argmax(shift_logits, axis=-1)

@@ -23,7 +23,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from slam_llm_tpu.ops.kernels.flash_attention import flash_attention
 
-B, T, H, HKV, D = 16, 448, 32, 4, 64
+import os
+B = int(os.environ.get("TUNE_B", "24"))
+T, H, HKV, D = 448, 32, 4, 64
 K = 20
 
 
@@ -62,7 +64,7 @@ def main(which="all"):
                     print(f"fwd bq={bq:4d} bk={bk:4d}  FAIL {str(e).splitlines()[0][:70]}", flush=True)
 
     if which in ("all", "bwd"):
-        for bq in (128, 256):
+        for bq in (64, 128, 256):
             for bk in (128, 256):
                 def step(qc, bq=bq, bk=bk):
                     g = jax.grad(
