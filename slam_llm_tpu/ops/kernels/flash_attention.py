@@ -162,36 +162,63 @@ def _dot_precision(dtype):
 
 
 def _lane_roll(x):
-    """Rotate the last (lane) dim by half: [x1, x2] -> [x2, x1]."""
-    d2 = x.shape[-1] // 2
-    try:
-        return pltpu.roll(x, d2, axis=x.ndim - 1)
-    except Exception:  # interpret mode / non-Mosaic tracing
-        return jnp.roll(x, d2, axis=-1)
+    """Rotate the last (lane) dim by half: [x1, x2] -> [x2, x1].
+
+    32-bit data uses the native lane rotate. Mosaic's rotate is
+    NOT IMPLEMENTED for 16-bit lanes, and upcasting just for the roll costs
+    two f32 passes per rotation — instead 16-bit inputs take the half-swap
+    through the MXU as an exact 0/1 permutation matmul ((M, D) x (D, D) is
+    ~1/7th of a score matmul at D=64, off the critical VPU path; bf16 0/1
+    times bf16 with f32 accumulation is exact)."""
+    d = x.shape[-1]
+    d2 = d // 2
+    if x.dtype.itemsize == 4:
+        try:
+            return pltpu.roll(x, d2, axis=x.ndim - 1)
+        except Exception:  # interpret mode / non-Mosaic tracing
+            return jnp.roll(x, d2, axis=-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    # out[..., j] = x[..., (j - d2) % d]  <=>  P[i, j] = [j == (i + d2) % d]
+    perm = (((rows + d2) % d) == cols).astype(x.dtype)
+    x2 = x.reshape(-1, d)
+    rolled = jax.lax.dot_general(
+        x2, perm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return rolled.reshape(x.shape)
 
 
 def _rot(x, c, s):
-    """RoPE rotation. x (..., D); C/S tables broadcastable (..., D), fp32.
-    Matches models.layers.apply_rope numerics: fp32 math, cast back."""
-    x32 = x.astype(jnp.float32)
-    return (x32 * c + _lane_roll(x32) * s).astype(x.dtype)
+    """RoPE rotation. x (..., D); C/S tables broadcastable (..., D).
+
+    Runs in x's dtype: the dispatcher pre-casts the tables to the q/k dtype,
+    so for bf16 inputs the whole chain (2 mul + add + roll) is bf16 — the
+    f32 round-trip it replaced (cast, mul, roll, mul, add, cast) measured as
+    ~1.1 ms/layer of the fused-RoPE backward at flagship shapes, an order of
+    magnitude over the rotation's arithmetic cost. bf16 table error (~0.4%)
+    is the same scale as the bf16 q/k quantization already present."""
+    c = c.astype(x.dtype)
+    s = s.astype(x.dtype)
+    return x * c + _lane_roll(x) * s
 
 
 def _rot_inv(x, c, s):
-    """Transpose (inverse) RoPE rotation, for dq/dk in the backward."""
-    x32 = x.astype(jnp.float32)
-    return (x32 * c - _lane_roll(x32) * s).astype(x.dtype)
+    """Transpose (inverse) RoPE rotation, for dq/dk in the backward. For
+    fp32 accumulators this takes the native lane roll (cheap VPU); tables
+    upcast from their stored dtype."""
+    c = c.astype(x.dtype)
+    s = s.astype(x.dtype)
+    return x * c - _lane_roll(x) * s
 
 
-def _rot_q(q_ref, cos_ref, sin_ref, inv=False):
+def _rot_q(q_ref, cos_ref, sin_ref):
     """Rotate a q-side block. Native (1, BQ, G, D) broadcasts the (1, BQ, D)
     table over G; flat (1, BQ, D) uses it directly. Returns q_ref[0]'s shape."""
     x = q_ref[0]
     c, s = cos_ref[0], sin_ref[0]
     if x.ndim == 3:  # native: (BQ, G, D), tables (BQ, D)
         c, s = c[:, None, :], s[:, None, :]
-    f = _rot_inv if inv else _rot
-    return f(x, c, s)
+    return _rot(x, c, s)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +275,7 @@ def _fwd_kernel(
     #     exact f32 path.
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
     scale2 = scale * LOG2E
-    q = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+    q = (q3 * scale2).astype(q_ref.dtype).reshape(gb, d)
     prec = _dot_precision(q_ref.dtype)
     neg = exp_dtype(-1e30 if exp_dtype == jnp.float32 else -3e38)
 
@@ -257,12 +284,6 @@ def _fwd_kernel(
         k_start = ki * block_k
         k_blk = _kv_slice(k_ref, k_start, block_k)
         v_blk = _kv_slice(v_ref, k_start, block_k)
-        if fused_rope:
-            k_blk = _rot(
-                k_blk,
-                cosk_ref[0, pl.ds(k_start, block_k), :],
-                sink_ref[0, pl.ds(k_start, block_k), :],
-            )
         valid = jnp.broadcast_to(
             mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)
         )
@@ -365,36 +386,52 @@ def _mask_spec(tk_pad, block, block_idx):
     )
 
 
-def _rope_specs(block_q, tk_block, d, k_block_idx=None, q_fixed=False):
-    """[Cq, Sq, Ck, Sk] BlockSpecs for the full-D roll-form tables. The
-    q-side table is blocked with the q grid dim (or full/fixed for the dkv
-    pass); the k-side table is full (sliced by pl.ds inside the key loop)
-    unless ``k_block_idx`` blocks it. Tables depend only on (batch,
-    position), so both layouts share specs."""
-    qix = (lambda qi: 0) if q_fixed else (lambda qi: qi)
-    kix = k_block_idx if k_block_idx is not None else (lambda qi: 0)
+def _rope_specs(block_q, tk_block, d):
+    """[Cq, Sq, Ck, Sk] BlockSpecs for the full-D roll-form tables (narrow
+    forward only — the backward is rope-free, see _bwd_rule). The q-side
+    table is blocked with the q grid dim; the k-side table is full (sliced
+    by pl.ds inside the key loop). Tables depend only on (batch, position),
+    so both layouts share specs."""
     qspec = pl.BlockSpec(
-        (1, block_q, d), lambda bi, kv, qi, qix=qix: (bi, qix(qi), 0),
+        (1, block_q, d), lambda bi, kv, qi: (bi, qi, 0),
         memory_space=pltpu.VMEM,
     )
     kspec = pl.BlockSpec(
-        (1, tk_block, d), lambda bi, kv, qi, f=kix: (bi, f(qi), 0),
+        (1, tk_block, d), lambda bi, kv, qi: (bi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     return [qspec, qspec, kspec, kspec]
 
 
-def _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad):
-    """[Cq, Sq, Ck, Sk] (B, T, D) fp32 roll-form tables from the (B, T, D/2)
+def _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad, dtype=jnp.float32,
+                   fold_groups=None):
+    """[Cq, Sq, Ck, Sk] (B, T, D) roll-form tables from the (B, T, D/2)
     cos/sin pair: C = [cos, cos], S = [-sin, sin] (fused rope is
     self-attention-only, so q and k share positions). Built in XLA — tiny
-    and loop-invariant, so LICM hoists them out of the layer scan."""
-    cos = rope_cos.astype(jnp.float32)
-    sin = rope_sin.astype(jnp.float32)
+    and loop-invariant, so LICM hoists them out of the layer scan. Tables
+    are pre-cast to the q/k dtype so the in-kernel rotation chain runs
+    without f32 round-trips (see ``_rot``).
+
+    ``fold_groups=G`` (wide kernels) row-repeats the q-side tables G times to
+    (B, Tq_pad*G, D), matching the kernels' folded (BQ*G, D) q tiles: the
+    in-kernel rotation then runs on plain 2D tiles with 2D tables — the
+    (BQ, 1, D) table broadcast a 3D rotation needs is an unsupported Mosaic
+    shape cast for 16-bit lanes."""
+    cos = rope_cos.astype(dtype)
+    sin = rope_sin.astype(dtype)
     c = jnp.concatenate([cos, cos], axis=-1)
     sgn = jnp.concatenate([-sin, sin], axis=-1)
     cq, sq = _pad_q(c, tq_pad), _pad_q(sgn, tq_pad)
-    if tk_pad == tq_pad:
+    if fold_groups is not None and fold_groups > 1:
+        b, _, d = cq.shape
+        g = fold_groups
+        cq = jnp.broadcast_to(cq[:, :, None, :], (b, tq_pad, g, d)).reshape(
+            b, tq_pad * g, d
+        )
+        sq = jnp.broadcast_to(sq[:, :, None, :], (b, tq_pad, g, d)).reshape(
+            b, tq_pad * g, d
+        )
+    elif tk_pad == tq_pad:
         return [cq, sq, cq, sq]
     return [cq, sq, _pad_q(c, tk_pad), _pad_q(sgn, tk_pad)]
 
@@ -428,7 +465,9 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
         )
         operands = [qp, kr, vr, maskr]
         if fused_rope:
-            operands += _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
+            operands += _rope_operands(
+                rope_cos, rope_sin, tq_pad, tk_pad, q.dtype, fold_groups=g
+            )
         out, lse = pl.pallas_call(
             functools.partial(
                 _fwd_wide_kernel, scale=scale, causal=causal, block_q=block_q,
@@ -553,11 +592,20 @@ def _wide_blocks(tq, tk, h, hkv, d, dtype, block_q, block_k, budget=96):
     return base + (False,)
 
 
-def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec):
+def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec,
+                   first=False):
     """One online-softmax step over a folded (BQ*G, BK) tile.
 
     q2 carries the (log2e-scaled) softmax scale; see the narrow kernels for
-    the bf16-chain and exp2-domain rationale."""
+    the bf16-chain and exp2-domain rationale.
+
+    ``first=True`` statically specializes the first k-block of a q row,
+    where the carry is the (-inf, 0, 0) init: the running-max merge, the
+    exp2 correction, and the carry rescales are all no-ops there, and the
+    (BQ*G, 1) stat vectors they touch lane-pad 1 -> 128, so each skipped op
+    costs as much VPU time as half a full (BQ*G, BK) tile op. With causal
+    blocks most (kv, qi) rows see only 1-2 k-blocks, so most iterations
+    take this branch."""
     m_prev, l_prev, acc = carry
     s_ = jax.lax.dot_general(
         q2, k_blk, (((1,), (1,)), ((), ())),
@@ -565,6 +613,15 @@ def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec)
     ).astype(exp_dtype)
     s_ = _mask_scores(s_, valid, groups, neg)
     m_cur = jnp.max(s_, axis=1, keepdims=True)
+    if first:
+        m_new = m_cur
+        p = jnp.exp2(s_ - m_new)
+        l_new = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        acc_new = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return m_new, l_new, acc_new
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp2(s_ - m_new)
     correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
@@ -574,12 +631,6 @@ def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec)
         preferred_element_type=jnp.float32, precision=prec,
     )
     return m_new, l_new, acc_new
-
-
-def _rot_rows(x3, cos, sin, inv=False):
-    """Rotate a (BQ, G, D) value with (BQ, D) tables."""
-    f = _rot_inv if inv else _rot
-    return f(x3, cos[:, None, :], sin[:, None, :])
 
 
 def _fwd_wide_kernel(
@@ -616,38 +667,62 @@ def _fwd_wide_kernel(
     # -unrolled equivalent at these trip counts (loop-carried VMEM state +
     # control overhead); nq/nk/hkv are all compile-time here and the
     # dispatcher bounds the total unroll count.
+    # padding-mask broadcasts and causal-diagonal masks are head-independent:
+    # build each ONCE for the whole kernel (they were re-broadcast per
+    # (kv, qi) — per-block bool tiles measured as real VPU time)
+    kvalids = [
+        jnp.broadcast_to(
+            mask_ref[0, :, pl.ds(ki * block_k, block_k)] > 0, (block_q, block_k)
+        )
+        for ki in range(nk)
+    ]
+    diag_cache = {}
+
+    def block_valid(q0, ki):
+        k_start = ki * block_k
+        if not (causal and k_start + block_k > q0):
+            return kvalids[ki]
+        if (q0, k_start) not in diag_cache:  # diagonal block only
+            diag_cache[(q0, k_start)] = kvalids[ki] & _causal_valid(
+                q0, k_start, block_q, block_k
+            )
+        return diag_cache[(q0, k_start)]
+
     for kv in range(hkv):  # static H slices
         hs = slice(kv * groups, (kv + 1) * groups)
+        # hoist k/v loads and the fused-RoPE k rotation out of the q loop
+        # (they were redone per q block: nq x redundant rotation VPU work;
+        # the backward kernel already hoists)
+        k_rot = []
+        v_blks = []
+        for ki in range(nk):
+            k_start = ki * block_k
+            kb = k_ref[0, kv, pl.ds(k_start, block_k), :]
+            if fused_rope:
+                kb = _rot(
+                    kb, cosk_ref[0, pl.ds(k_start, block_k), :],
+                    sink_ref[0, pl.ds(k_start, block_k), :],
+                )
+            k_rot.append(kb)
+            v_blks.append(v_ref[0, kv, pl.ds(k_start, block_k), :])
         for qi in range(nq):
             q0 = qi * block_q
-            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
-            if fused_rope:
-                q3 = _rot_rows(
-                    q3, cosq_ref[0, pl.ds(q0, block_q), :],
-                    sinq_ref[0, pl.ds(q0, block_q), :],
+            q2 = q_ref[0, pl.ds(q0, block_q), hs, :].reshape(gb, d)
+            if fused_rope:  # folded 2D rotation, tables pre-folded xG
+                q2 = _rot(
+                    q2, cosq_ref[0, pl.ds(q0 * groups, gb), :],
+                    sinq_ref[0, pl.ds(q0 * groups, gb), :],
                 )
-            q2 = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+            q2 = (q2 * scale2).astype(q_ref.dtype)
             nk_q = min(nk, _cdiv((qi + 1) * block_q, block_k)) if causal else nk
 
             m = jnp.full((gb, 1), neg, exp_dtype)
             l = jnp.zeros((gb, 1), jnp.float32)
             acc = jnp.zeros((gb, d), jnp.float32)
             for ki in range(nk_q):
-                k_start = ki * block_k
-                k_blk = k_ref[0, kv, pl.ds(k_start, block_k), :]
-                v_blk = v_ref[0, kv, pl.ds(k_start, block_k), :]
-                if fused_rope:
-                    k_blk = _rot(
-                        k_blk, cosk_ref[0, pl.ds(k_start, block_k), :],
-                        sink_ref[0, pl.ds(k_start, block_k), :],
-                    )
-                valid = jnp.broadcast_to(
-                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
-                )
-                if causal and k_start + block_k > q0:  # diagonal block only
-                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
                 m, l, acc = _softmax_block(
-                    q2, k_blk, v_blk, valid, (m, l, acc), groups, exp_dtype, neg, prec
+                    q2, k_rot[ki], v_blks[ki], block_valid(q0, ki), (m, l, acc),
+                    groups, exp_dtype, neg, prec, first=(ki == 0),
                 )
             l_safe = jnp.maximum(l, 1e-30)
             out_ref[0, pl.ds(q0, block_q), hs, :] = (
@@ -667,7 +742,8 @@ def _bwd_fused_wide_kernel(
     out_ref,  # (1, Tq, H, D) saved forward output (for in-kernel delta)
     lse_ref,  # (1, Tq, H) fp32, log2 domain (H minor, see _wide_specs)
     mask_ref,  # (1, 1, Tk)
-    *rest,  # [rope tables] then dq_ref, dk_ref, dv_ref
+    *rest,  # [cosq (1,Tq*G,D) folded, sinq, cosk (1,Tk,D), sink] if
+    #         fused_rope, then dq_ref, dk_ref, dv_ref
     scale: float,
     causal: bool,
     block_q: int,
@@ -681,7 +757,13 @@ def _bwd_fused_wide_kernel(
     each (kv, qi, ki) tile computes p/ds ONCE and feeds all three grads;
     dk/dv accumulate across q-blocks in VMEM-resident per-k-block carries.
     delta = rowsum(dout * out) is computed in-kernel from the saved forward
-    output (one 29 MB read replacing an XLA pass that read 58 MB + wrote)."""
+    output (one 29 MB read replacing an XLA pass that read 58 MB + wrote).
+    Fused RoPE rotates q (folded 2D, bf16-native — see ``_rot``) and k
+    in-kernel and counter-rotates dq/dk on the fp32 accumulators at
+    writeback: an XLA pre/post-rotation alternative measured ~0.39 ms per
+    (B,T,H,D) pass at flagship shapes (minor-dim-64 lane padding halves
+    effective bandwidth) vs ~0.5 ms for ALL in-kernel rotations
+    combined."""
     if fused_rope:
         cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref, dk_ref, dv_ref = rest
     else:
@@ -696,40 +778,51 @@ def _bwd_fused_wide_kernel(
     prec = _dot_precision(q_ref.dtype)
     scale2 = scale * LOG2E
 
+    # head-independent masks: build once for the whole kernel (see forward)
+    kvalids = [
+        jnp.broadcast_to(
+            mask_ref[0, :, pl.ds(ki * block_k, block_k)] > 0, (block_q, block_k)
+        )
+        for ki in range(nk)
+    ]
+    diag_cache = {}
+
+    def block_valid(q0, ki):
+        k_start = ki * block_k
+        if not (causal and k_start + block_k > q0):
+            return kvalids[ki]
+        if (q0, k_start) not in diag_cache:
+            diag_cache[(q0, k_start)] = kvalids[ki] & _causal_valid(
+                q0, k_start, block_q, block_k
+            )
+        return diag_cache[(q0, k_start)]
+
     for kv in range(hkv):
         hs = slice(kv * groups, (kv + 1) * groups)
         # per-k-block accumulators, carried across the q loop
         dk_acc = [jnp.zeros((block_k, d), jnp.float32) for _ in range(nk)]
         dv_acc = [jnp.zeros((block_k, d), jnp.float32) for _ in range(nk)]
-        k_rot = []
+        k_blks = []
         v_blks = []
-        kvalids = []
         for ki in range(nk):
-            k_start = ki * block_k
-            kb = k_ref[0, kv, pl.ds(k_start, block_k), :]
+            kb = k_ref[0, kv, pl.ds(ki * block_k, block_k), :]
             if fused_rope:
                 kb = _rot(
-                    kb, cosk_ref[0, pl.ds(k_start, block_k), :],
-                    sink_ref[0, pl.ds(k_start, block_k), :],
+                    kb, cosk_ref[0, pl.ds(ki * block_k, block_k), :],
+                    sink_ref[0, pl.ds(ki * block_k, block_k), :],
                 )
-            k_rot.append(kb)
-            v_blks.append(v_ref[0, kv, pl.ds(k_start, block_k), :])
-            kvalids.append(
-                jnp.broadcast_to(
-                    mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (block_q, block_k)
-                )
-            )
+            k_blks.append(kb)
+            v_blks.append(v_ref[0, kv, pl.ds(ki * block_k, block_k), :])
 
         for qi in range(nq):
             q0 = qi * block_q
-            q3 = q_ref[0, pl.ds(q0, block_q), hs, :]
+            q_blk = q_ref[0, pl.ds(q0, block_q), hs, :].reshape(gbq, d)
             cq = sq = None
             if fused_rope:
-                cq = cosq_ref[0, pl.ds(q0, block_q), :]
-                sq = sinq_ref[0, pl.ds(q0, block_q), :]
-                q3 = _rot_rows(q3, cq, sq)
-            q_blk = q3.reshape(gbq, d)
-            q_s = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gbq, d)
+                cq = cosq_ref[0, pl.ds(q0 * groups, gbq), :]
+                sq = sinq_ref[0, pl.ds(q0 * groups, gbq), :]
+                q_blk = _rot(q_blk, cq, sq)
+            q_s = (q_blk * scale2).astype(q_ref.dtype)
             g3 = g_ref[0, pl.ds(q0, block_q), hs, :]
             g_blk = g3.reshape(gbq, d)
             o3 = out_ref[0, pl.ds(q0, block_q), hs, :]
@@ -747,12 +840,9 @@ def _bwd_fused_wide_kernel(
 
             dq_acc = jnp.zeros((gbq, d), jnp.float32)
             for ki in range(nk_q):
-                k_start = ki * block_k
-                valid = kvalids[ki]
-                if causal and k_start + block_k > q0:
-                    valid = valid & _causal_valid(q0, k_start, block_q, block_k)
+                valid = block_valid(q0, ki)
                 s3 = jax.lax.dot_general(
-                    q_s, k_rot[ki], (((1,), (1,)), ((), ())),
+                    q_s, k_blks[ki], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 ).astype(exp_dtype).reshape(block_q, groups, block_k)
                 p3 = jnp.where(
@@ -768,7 +858,7 @@ def _bwd_fused_wide_kernel(
                     .reshape(gbq, block_k).astype(q_ref.dtype)
                 )
                 dq_acc = dq_acc + jax.lax.dot_general(
-                    ds_, k_rot[ki], (((1,), (0,)), ((), ())),
+                    ds_, k_blks[ki], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
                 dk_acc[ki] = dk_acc[ki] + jax.lax.dot_general(
@@ -780,10 +870,14 @@ def _bwd_fused_wide_kernel(
                     preferred_element_type=jnp.float32, precision=prec,
                 )
 
-            final = (dq_acc * scale).reshape(block_q, groups, d)
+            final = dq_acc * scale  # (gbq, d) fp32
             if fused_rope:
-                final = _rot_rows(final, cq, sq, inv=True)
-            dq_ref[0, pl.ds(q0, block_q), hs, :] = final.astype(dq_ref.dtype)
+                # counter-rotate: grad w.r.t. ROTATED q -> pre-rotation
+                # (RoPE is orthogonal, d_pre = R^T d_post); fp32 native roll
+                final = _rot_inv(final, cq, sq)
+            dq_ref[0, pl.ds(q0, block_q), hs, :] = final.astype(
+                dq_ref.dtype
+            ).reshape(block_q, groups, d)
 
         for ki in range(nk):
             k_start = ki * block_k
@@ -820,7 +914,11 @@ def _wide_specs(b, tq_pad, tk_pad, h, hkv, d, rope):
     mspec = pl.BlockSpec((1, 1, tk_pad), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
     ropespecs = []
     if rope:
-        rq = pl.BlockSpec((1, tq_pad, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        g = h // hkv
+        # q tables are pre-folded to (B, Tq_pad*G, D) — see _rope_operands
+        rq = pl.BlockSpec(
+            (1, tq_pad * g, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+        )
         rk = pl.BlockSpec((1, tk_pad, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
         ropespecs = [rq, rq, rk, rk]
     return qspec, sspec, kvspec, mspec, ropespecs
@@ -895,19 +993,13 @@ def _bwd_dq_kernel(
     lse_ref,  # (1, BQ, G, 1) | (1, BQ, 1) fp32, log2 domain
     delta_ref,  # like lse_ref — rowsum(g * out)
     mask_ref,  # (1, 1, Tk) int32
-    *rest,  # [cosq (1,BQ,D2), sinq, cosk (1,Tk,D2), sink] if fused_rope,
-    #         then dq_ref (like q_ref)
+    dq_ref,  # like q_ref
     scale: float,
     causal: bool,
     block_k: int,
     q_block: int,
     groups: int,
-    fused_rope: bool = False,
 ):
-    if fused_rope:
-        cosq_ref, sinq_ref, cosk_ref, sink_ref, dq_ref = rest
-    else:
-        (dq_ref,) = rest
     bq = q_ref.shape[1]
     d = q_ref.shape[-1]
     tk = k_ref.shape[-2]
@@ -921,10 +1013,9 @@ def _bwd_dq_kernel(
     # feeds the score matmul, so pre-scaling is safe; dq's own `* scale` is
     # applied at the end).
     gb = bq * groups
-    q3 = _rot_q(q_ref, cosq_ref, sinq_ref) if fused_rope else q_ref[0]
     exp_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
     scale2 = scale * LOG2E
-    q = (q3.astype(jnp.float32) * scale2).astype(q_ref.dtype).reshape(gb, d)
+    q = (q_ref[0] * scale2).astype(q_ref.dtype).reshape(gb, d)
     g2 = g_ref[0].reshape(gb, d)
     lse = lse_ref[0].reshape(gb, 1).astype(exp_dtype)
     delta = delta_ref[0].reshape(gb, 1)
@@ -934,12 +1025,6 @@ def _bwd_dq_kernel(
         k_start = ki * block_k
         k_blk = _kv_slice(k_ref, k_start, block_k)
         v_blk = _kv_slice(v_ref, k_start, block_k)
-        if fused_rope:
-            k_blk = _rot(
-                k_blk,
-                cosk_ref[0, pl.ds(k_start, block_k), :],
-                sink_ref[0, pl.ds(k_start, block_k), :],
-            )
         valid = jnp.broadcast_to(
             mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)
         )
@@ -962,15 +1047,7 @@ def _bwd_dq_kernel(
         )
 
     acc = jax.lax.fori_loop(0, nk_dyn, body, jnp.zeros((gb, d), jnp.float32))
-    final = (acc * scale).reshape(dq_ref.shape[1:])
-    if fused_rope:
-        # counter-rotate: this is the grad w.r.t. ROTATED q; the primal is
-        # pre-rotation (RoPE is orthogonal, d_pre = R^T d_post)
-        cos, sin = cosq_ref[0], sinq_ref[0]
-        if final.ndim == 3:
-            cos, sin = cos[:, None, :], sin[:, None, :]
-        final = _rot_inv(final, cos, sin)
-    dq_ref[0] = final.astype(dq_ref.dtype)
+    dq_ref[0] = (acc * scale).reshape(dq_ref.shape[1:]).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -981,26 +1058,19 @@ def _bwd_dkv_kernel(
     lse_ref,  # (1, Tq, G, 1) | (1, Tq, 1) fp32, log2 domain
     delta_ref,  # like lse_ref
     mask_ref,  # (1, 1, BK)
-    *rest,  # [cosq (1,Tq,D2), sinq, cosk (1,BK,D2), sink] if fused_rope,
-    #         then dk_ref, dv_ref (like k_ref; dk GROUP-SUMMED over G)
+    dk_ref,  # like k_ref; dk GROUP-SUMMED over G
+    dv_ref,
     scale: float,
     causal: bool,
     block_q: int,
     k_block: int,
     groups: int,
-    fused_rope: bool = False,
 ):
-    if fused_rope:
-        cosq_ref, sinq_ref, cosk_ref, sink_ref, dk_ref, dv_ref = rest
-    else:
-        dk_ref, dv_ref = rest
     bk = k_ref.shape[-2]
     d = k_ref.shape[-1]
     tq = q_ref.shape[1]
     ki = pl.program_id(2)
     k_blk = _kv_head(k_ref)
-    if fused_rope:
-        k_blk = _rot(k_blk, cosk_ref[0], sink_ref[0])
     v_blk = _kv_head(v_ref)
     kvalid = mask_ref[0, :, :] > 0  # (1, BK)
 
@@ -1013,7 +1083,7 @@ def _bwd_dkv_kernel(
     # here q feeds both the score matmul and the dk accumulation, so it must
     # stay raw; k only feeds scores (see _fwd_kernel for the bf16 rationale)
     scale2 = scale * LOG2E
-    k_s = (k_blk.astype(jnp.float32) * scale2).astype(k_blk.dtype)
+    k_s = (k_blk * scale2).astype(k_blk.dtype)
     prec = _dot_precision(q_ref.dtype)
 
     def body(qi, carry):
@@ -1026,14 +1096,7 @@ def _bwd_dkv_kernel(
         # per-group dk/dv sum happens INSIDE one matmul contraction over
         # (BQ*G) instead of G accumulation steps. Zero-padded q rows are
         # harmless here: their dout rows are zero (dv), and dp=delta=0 (dk).
-        qb = q_ref[0, pl.ds(q_start, block_q)]
-        if fused_rope:
-            cos = cosq_ref[0, pl.ds(q_start, block_q), :]
-            sin = sinq_ref[0, pl.ds(q_start, block_q), :]
-            if qb.ndim == 3:
-                cos, sin = cos[:, None, :], sin[:, None, :]
-            qb = _rot(qb, cos, sin)
-        q_blk = qb.reshape(gbq, d)
+        q_blk = q_ref[0, pl.ds(q_start, block_q)].reshape(gbq, d)
         g_blk = g_ref[0, pl.ds(q_start, block_q)].reshape(gbq, d)
         lse_blk = lse_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1).astype(exp_dtype)
         delta_blk = delta_ref[0, pl.ds(q_start, block_q)].reshape(gbq, 1)
@@ -1060,9 +1123,6 @@ def _bwd_dkv_kernel(
 
     zero = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(q_lo, nq, body, (zero, zero))
-    if fused_rope:
-        # counter-rotate dk (grad w.r.t. rotated k -> pre-rotation k)
-        dk = _rot_inv(dk, cosk_ref[0], sink_ref[0])
     if dk_ref.ndim == 4:
         dk_ref[0, 0] = (dk * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv.astype(dv_ref.dtype)
@@ -1077,22 +1137,30 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
     (B, Hkv, k-blocks) with the GQA group sum folded into the dk/dv
     accumulators. P is recomputed from (q, k, lse) inside the tiles —
     nothing (Tq, Tk)-shaped ever touches HBM (round-1 weakness #2a: the XLA
-    fallback materialized the full logits)."""
+    fallback materialized the full logits).
+
+    Fused RoPE rides the wide kernel in-kernel (bf16 rotation, see
+    ``_bwd_fused_wide_kernel``); the narrow fallback kernels are rope-free —
+    q/k are pre-rotated and dq/dk counter-rotated in XLA here instead."""
     b, tq, h, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
     grp = h // hkv
     native = _use_native(h, hkv)
     groups = grp if native else 1
+    fused_rope = rope_cos is not None
 
     block_q, block_k, tq_pad, tk_pad, wide = _wide_blocks(
         tq, tk, h, hkv, d, q.dtype, block_q, block_k, budget=32
     )
+    if fused_rope and not wide:
+        # rare fallback (huge-T shapes): rotate in XLA, rope-free kernels
+        q = _xla_rope(q, rope_cos, rope_sin)
+        k = _xla_rope(k, rope_cos, rope_sin)
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
 
     qp = _pad_q(q, tq_pad)
     gp = _pad_q(g, tq_pad)
     lsep = _pad_q(lse, tq_pad)  # (B, Tq_pad, H), H minor (see _wide_specs)
-    fused_rope = rope_cos is not None
 
     if wide:
         qspec, sspec, kvspec, mspec, ropespecs = _wide_specs(
@@ -1101,7 +1169,10 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
         outp = _pad_q(out, tq_pad)
         base_ops = [qp, kr, vr, gp, outp, lsep, maskr]
         rope_ops = (
-            _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad) if fused_rope else []
+            _rope_operands(
+                rope_cos, rope_sin, tq_pad, tk_pad, q.dtype, fold_groups=grp
+            )
+            if fused_rope else []
         )
         base_specs = [qspec, kvspec, kvspec, qspec, qspec, sspec, mspec] + ropespecs
         dq, dk, dv = pl.pallas_call(
@@ -1161,15 +1232,11 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
         _mask_spec(tk_pad, tk_pad, lambda qi: 0),
     ]
     dq_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
-    if fused_rope:
-        rope_ops = _rope_operands(rope_cos, rope_sin, tq_pad, tk_pad)
-        dq_in_specs += _rope_specs(block_q, tk_pad, d)
-        dq_operands += rope_ops
 
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, block_k=block_k,
-            q_block=block_q, groups=groups, fused_rope=fused_rope,
+            q_block=block_q, groups=groups,
         ),
         grid=(b, nheads, tq_pad // block_q),
         in_specs=dq_in_specs,
@@ -1203,16 +1270,11 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
         _mask_spec(tk_pad, block_k, lambda ki: ki),
     ]
     dkv_operands = [qpr, kr, vr, gpr, lser, deltar, maskr]
-    if fused_rope:
-        dkv_in_specs += _rope_specs(
-            tq_pad, block_k, d, k_block_idx=lambda ki: ki, q_fixed=True
-        )
-        dkv_operands += rope_ops
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
-            k_block=block_k, groups=groups, fused_rope=fused_rope,
+            k_block=block_k, groups=groups,
         ),
         grid=(b, nheads, tk_pad // block_k),
         in_specs=dkv_in_specs,
@@ -1227,11 +1289,31 @@ def _flash_bwd(q, k, v, kv_mask, out, lse, g, causal, scale, block_q, block_k, i
             dq = dq[:, :tq]
         dk = dk[:, :, :tk].transpose(0, 2, 1, 3)
         dv = dv[:, :, :tk].transpose(0, 2, 1, 3)
-        return dq, dk, dv
-    dq = dq.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
-    dk = dk.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
-    dv = dv.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
+    else:
+        dq = dq.reshape(b, h, tq_pad, d)[:, :, :tq].transpose(0, 2, 1, 3)
+        dk = dk.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
+        dv = dv.reshape(b, hkv, grp, tk_pad, d)[:, :, :, :tk].sum(axis=2).transpose(0, 2, 1, 3)
+    if fused_rope:
+        # narrow path only (wide counter-rotates in-kernel): d_pre = R^T d_post
+        dq = _xla_rope(dq, rope_cos, rope_sin, inv=True)
+        dk = _xla_rope(dk, rope_cos, rope_sin, inv=True)
     return dq, dk, dv
+
+
+def _xla_rope(x, cos, sin, inv=False):
+    """Roll-form RoPE as ONE fused XLA elementwise pass in x's dtype.
+
+    x (B, T, H, D); cos/sin (B, T, D/2). Matches the in-kernel ``_rot``
+    (C = [cos, cos], S = [-sin, sin]); ``inv`` applies the transpose
+    rotation. The lane roll lowers to a concat of two slices, which XLA
+    fuses into the multiply-add — ~one HBM read+write of x."""
+    d = x.shape[-1]
+    c = jnp.concatenate([cos, cos], axis=-1)[:, :, None, :].astype(x.dtype)
+    sg = jnp.concatenate([-sin, sin], axis=-1)[:, :, None, :].astype(x.dtype)
+    if inv:
+        sg = -sg
+    xr = jnp.roll(x, d // 2, axis=-1)
+    return x * c + xr * sg
 
 
 def _bwd_rule(causal, scale, block_q, block_k, bwd_block_q, bwd_block_k, interpret, res, g):

@@ -226,3 +226,46 @@ def test_flash_fused_rope(gqa):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3
         )
+
+
+def test_flash_fused_rope_bf16():
+    """bf16 fused-RoPE path: the rotation chain (tables pre-cast to bf16,
+    no f32 round-trips — see ops/kernels/flash_attention._rot) stays within
+    the tolerance bf16 q/k quantization already implies, values and grads."""
+    from slam_llm_tpu.models.layers import apply_rope_tables, rope_tables
+
+    b, t, h, hkv, d = 2, 256, 8, 2, 64
+    q = _rand((b, t, h, d), 40).astype(jnp.bfloat16)
+    k = _rand((b, t, hkv, d), 41).astype(jnp.bfloat16)
+    v = _rand((b, t, hkv, d), 42).astype(jnp.bfloat16)
+    kv_mask = np.ones((b, t), np.int32)
+    kv_mask[1, t - 19:] = 0
+    kv_mask = jnp.asarray(kv_mask)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    cos, sin = rope_tables(positions, d)
+
+    def fused(q, k, v):
+        return flash_attention(
+            q, k, v, kv_mask, True, None, 128, 128, None, None, True,
+            rope_cos=cos, rope_sin=sin,
+        )
+
+    def unfused(q, k, v):
+        # f32 rotation then bf16 attention: the reference numerics
+        qr = apply_rope_tables(q, cos, sin)
+        kr = apply_rope_tables(k, cos, sin)
+        return flash_attention(qr, kr, v, kv_mask, True, None, 128, 128, None, None, True)
+
+    of, ou = fused(q, k, v), unfused(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(of, np.float32), np.asarray(ou, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+    gf = jax.grad(lambda *a: jnp.sum(fused(*a).astype(jnp.float32) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gu = jax.grad(lambda *a: jnp.sum(unfused(*a).astype(jnp.float32) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gu):
+        # smoke bound (two different bf16 rotation pipelines); exactness is
+        # anchored by the fp32 fused-rope test above
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32), atol=3e-1, rtol=5e-2
+        )
