@@ -558,6 +558,12 @@ def _use_wide(tq_pad, tk_pad, h, hkv, d, dtype, block_q, block_k) -> bool:
     """Wide needs (a) per-buffer VMEM fit and (b) a bounded static-unroll
     count (the wide kernels unroll hkv x nq x nk fully — Mosaic fori_loops
     measured ~2.8x slower than straight-line code at these trip counts)."""
+    g = h // hkv
+    if g != 1 and g % 8 != 0:
+        # folded (BQ, G, BK) tiles broadcast masks/stats over the G sublane
+        # dim; Mosaic rejects that ("Not implemented: Sublane broadcast")
+        # unless G spans whole 8-sublane tiles — fall back to narrow kernels
+        return False
     itemsize = jnp.dtype(dtype).itemsize
     if tq_pad * h * d * itemsize > _WIDE_BYTES:
         return False
