@@ -283,6 +283,12 @@ def _fwd_kernel(
         m_prev, l_prev, acc = carry  # (GB,1) exp_dtype, (GB,1) f32, (GB,D) f32
         k_start = ki * block_k
         k_blk = _kv_slice(k_ref, k_start, block_k)
+        if fused_rope:
+            k_blk = _rot(
+                k_blk,
+                cosk_ref[0, pl.ds(k_start, block_k), :],
+                sink_ref[0, pl.ds(k_start, block_k), :],
+            )
         v_blk = _kv_slice(v_ref, k_start, block_k)
         valid = jnp.broadcast_to(
             mask_ref[0, :, pl.ds(k_start, block_k)] > 0, (bq, block_k)
