@@ -30,6 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from slam_llm_tpu.models.bert import BertConfig, BertEncoder, convert_bert_torch_state
+from slam_llm_tpu.models.cnn14 import Cnn14, Cnn14Config, convert_cnn14_torch_state
 from slam_llm_tpu.models.htsat import HTSAT, HTSATConfig, convert_htsat_torch_state
 from slam_llm_tpu.models.vit import ViTEncoder, ViTEncoderConfig
 
@@ -37,7 +38,8 @@ from slam_llm_tpu.models.vit import ViTEncoder, ViTEncoderConfig
 @dataclass(frozen=True)
 class CLAPConfig:
     embed_dim: int = 1024  # reference config["embed_size"]
-    audio_tower: str = "htsat"  # htsat | vit
+    audio_tower: str = "htsat"  # htsat | cnn14 | vit (reference audio_encoder.py:23-45)
+    cnn14: Cnn14Config = field(default_factory=Cnn14Config)
     htsat: HTSATConfig = field(default_factory=HTSATConfig)
     bert: BertConfig = field(default_factory=BertConfig.base_uncased)
     vit: Optional[ViTEncoderConfig] = None
@@ -75,6 +77,8 @@ class CLAP(nn.Module):
         c = self.cfg
         if c.audio_tower == "htsat":
             self.audio_enc = HTSAT(c.htsat, name="audio_enc")
+        elif c.audio_tower == "cnn14":
+            self.audio_enc = Cnn14(c.cnn14, name="audio_enc")
         else:
             self.audio_enc = ViTEncoder(c.vit, name="audio_enc")
         self.text_enc = BertEncoder(c.bert, name="text_enc")
@@ -89,6 +93,11 @@ class CLAP(nn.Module):
         if self.cfg.audio_tower == "htsat":
             feats = self.audio_enc(mel.astype(jnp.float32))["fine_grained_embedding"]
             pooled = feats.mean(axis=1)
+        elif self.cfg.audio_tower == "cnn14":
+            # time-resolved (B, T', 2048) features, mean-pooled over time —
+            # the same pooling the other towers get (the reference's own cnn
+            # forward path is unreachable, audio_encoder.py:91-104)
+            pooled = self.audio_enc(mel).mean(axis=1)
         else:
             feats, mask = self.audio_enc(mel, mel_mask)
             m = mask[..., None].astype(jnp.float32)
@@ -135,7 +144,12 @@ def convert_ase_torch_state(sd: Dict[str, Any], cfg: CLAPConfig) -> Dict:
         return {k[n:]: v for k, v in npd.items() if k.startswith(prefix)}
 
     p: Dict[str, Any] = {}
-    p["audio_enc"] = convert_htsat_torch_state(sub("audio_encoder.audio_enc."), cfg.htsat)["params"]
+    if cfg.audio_tower == "cnn14":
+        p["audio_enc"] = convert_cnn14_torch_state(
+            sub("audio_encoder.audio_enc."), cfg.cnn14
+        )["params"]
+    else:
+        p["audio_enc"] = convert_htsat_torch_state(sub("audio_encoder.audio_enc."), cfg.htsat)["params"]
     p["text_enc"] = convert_bert_torch_state(sub("text_encoder.text_enc."), cfg.bert)["params"]
     for name in ("audio_proj", "text_proj"):
         # nn.Sequential(Linear, ReLU, Linear) -> indices 0 / 2
