@@ -8,6 +8,7 @@ import sys
 
 
 def main(outdir="/tmp/trace", top=40):
+    top = int(top)
     files = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))
     try:
         from xprof.convert import raw_to_tool_data as r2t
