@@ -49,6 +49,10 @@ class ModelConfig:
     # S2S TTS adapter (reference s2s_config.py:93-94)
     tts_adapter: bool = False
     tts_adapter_layers: int = 6
+    # S2S codec vocoder (reference s2s_config.py:90-92)
+    codec_decode: bool = False
+    codec_decoder_type: str = "SNAC"  # SNAC | CosyVoice
+    codec_decoder_path: Optional[str] = None
     # TPU-specific:
     dtype: str = "bfloat16"  # compute dtype
     param_dtype: str = "float32"  # master params

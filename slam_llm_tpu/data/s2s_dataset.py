@@ -30,7 +30,9 @@ from slam_llm_tpu.models.s2s import VocabConfig
 from slam_llm_tpu.ops import audio as audio_ops
 
 IGNORE_INDEX = -100
-PROMPT_TEMPLATE = "USER: {}\n ASSISTANT: "
+# reference speech_dataset_s2s.py:28 (the inference drivers use the same
+# "<SYSTEM>: " framing, so train and inference prompts stay in-distribution)
+PROMPT_TEMPLATE = "<SYSTEM>: {}\n "
 DEFAULT_S2S_PROMPT = (
     "Conduct a spoken conversation with the user. "
 )

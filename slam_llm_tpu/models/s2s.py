@@ -538,34 +538,70 @@ class S2SGenerator:
         chunk = jax.jit(self._run_until, static_argnames=("max_new",))
         state = init(params, batch, rng, max_new=max_new)
         start = 0
+        frames_done = 0
         while start < max_new:
             n = min(stream_stride, max_new - start)
             state = chunk(params, state, batch, jnp.int32(start + n), max_new=max_new)
             out = np.asarray(state[3])
+            steps = start + n
+            text_end, audio_end = np.asarray(state[4]), np.asarray(state[5])
+            done = bool(np.all(text_end & audio_end))
             payload = {
-                "audio_tokens": out[:, :L, start : start + n],
-                "text_tokens": out[:, L, start : start + n],
+                "audio_tokens": out[:, :L, start:steps],
+                "text_tokens": out[:, L, start:steps],
             }
-            if codec_decoder is not None:
+            if codec_decoder is not None and getattr(codec_decoder, "codec_type", "snac") == "snac":
+                # decode newly-completed frames against the FULL history —
+                # layer j's token for frame f sits at step f + j + 1, so a
+                # chunk-local un-stagger would drop 7 frames per boundary
+                # (the reference's get_snac indexes the full history too,
+                # snac_utils.py:38-46)
+                streams = out[0, :L, :steps]
+                if done:
+                    streams = np.stack(trim_generated(out[0, :, :steps], v)[:L])
+                avail = codec_decoder.num_frames(streams)
+                try:
+                    payload["audio"] = codec_decoder.decode_window(
+                        streams, frames_done, avail
+                    )
+                except Exception:
+                    payload["audio"] = None
+                frames_done = max(frames_done, avail)
+            elif codec_decoder is not None:
                 try:
                     payload["audio"] = codec_decoder.decode(payload["audio_tokens"][0])
                 except Exception:
                     payload["audio"] = None
             yield payload
             start += n
-            text_end, audio_end = np.asarray(state[4]), np.asarray(state[5])
-            if bool(np.all(text_end & audio_end)):
+            if done:
                 break
 
 
 def trim_generated(tokens: np.ndarray, vocab: VocabConfig) -> List[np.ndarray]:
-    """Host-side: cut text at EOT and audio streams at the last layer's EOA
-    (reference slam_model_s2s.py:439-448). tokens: (L+1, T) one sample."""
+    """Host-side: cut text at EOT and audio streams at the end of audio
+    (reference slam_model_s2s.py:435-448). tokens: (L+1, T) one sample.
+
+    The generator (like the reference) freezes ALL audio layers to pads as
+    soon as ANY layer emits EOA — with the staggered SNAC layout the first
+    EOA is layer 0's, so the last layer's EOA never appears. The reference
+    handles this by breaking its python loop and truncating at the break
+    step; here the output buffer is preallocated to max_new, so the
+    equivalents are: last-layer EOA if present, else the first EOA in any
+    layer, else stripping the all-pad tail. Without this, max_new - n_frames
+    steps of pad tokens would be vocoded into a garbage audio tail."""
     L = vocab.code_layer
     text = tokens[L]
     eot_pos = np.where(text == vocab.eot)[0]
     text_out = text[: eot_pos[0]] if eot_pos.size else text
-    last = tokens[L - 1]
-    eoa_pos = np.where(last == vocab.eoa)[0]
-    end = eoa_pos[0] if eoa_pos.size else tokens.shape[1]
+    eoa_pos = np.where(tokens[L - 1] == vocab.eoa)[0]
+    if eoa_pos.size:
+        end = eoa_pos[0]
+    else:
+        any_eoa = np.where((tokens[:L] == vocab.eoa).any(axis=0))[0]
+        if any_eoa.size:
+            end = any_eoa[0]
+        else:
+            nonpad = np.where((tokens[:L] != vocab.pad_a).any(axis=0))[0]
+            end = nonpad[-1] + 1 if nonpad.size else 0
     return [tokens[i][:end] for i in range(L)] + [text_out]

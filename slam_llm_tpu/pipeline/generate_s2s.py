@@ -3,8 +3,9 @@
 TPU-native counterparts of the reference's six generate entries
 (``examples/s2s/generate/generate_s2s_{batch,online}[_multi_round|_stream_mini_omni].py``):
 one core session object; the mode knob picks the driver. Speech synthesis is
-native (models/snac.py) when ``model_config.codec_decoder_path`` points at a
-SNAC checkpoint; CosyVoice still needs an external ``decode_fn``.
+native when ``model_config.codec_decoder_path`` points at a SNAC checkpoint
+(models/snac.py) or a CosyVoice one (models/cosyvoice_flow.py + hift.py),
+selected by ``model_config.codec_decoder_type``.
 
     # single round, wav in -> text + wav out
     python -m slam_llm_tpu.pipeline.generate_s2s --config examples/s2s/conf/s2s_qwen.yaml \
@@ -152,11 +153,21 @@ class S2SSession:
         mc = cfg.model_config
         path = getattr(mc, "codec_decoder_path", None)
         ctype = getattr(mc, "codec_decoder_type", "SNAC")
-        if ctype.upper() == "SNAC" and path:
-            try:
+        if not path:
+            return None
+        try:
+            if ctype.upper() == "SNAC":
                 return CodecDecoder.from_snac_checkpoint(path)
-            except Exception as e:  # missing/foreign checkpoint: tokens-only
-                logger.warning("SNAC checkpoint load failed (%s); text+tokens only", e)
+            if ctype.lower() == "cosyvoice":
+                # a directory holding flow.pt + hift.pt, or "flow.pt:hift.pt"
+                if os.path.isdir(path):
+                    flow, hift = os.path.join(path, "flow.pt"), os.path.join(path, "hift.pt")
+                else:
+                    flow, hift = path.split(":", 1)
+                return CodecDecoder.from_cosyvoice_checkpoint(flow, hift)
+            logger.warning("unknown codec_decoder_type %r; text+tokens only", ctype)
+        except Exception as e:  # missing/foreign checkpoint: tokens-only
+            logger.warning("%s checkpoint load failed (%s); text+tokens only", ctype, e)
         return None
 
     def _ensure_params(self, batch):
@@ -235,7 +246,8 @@ def run_online(session: S2SSession, cfg: RunConfig, multi_round: bool, stream: b
         wav_path, text_input = (None, line[2:]) if line.startswith("t:") else (line, None)
         if stream:
             pieces, wavs = [], []
-            for text, wav in session.stream_round(wav_path, text_input):
+            stride = getattr(cfg.decode_config, "stream_stride", 24)
+            for text, wav in session.stream_round(wav_path, text_input, stream_stride=stride):
                 print(text, end="", flush=True)
                 pieces.append(text)
                 if wav is not None:
@@ -243,7 +255,7 @@ def run_online(session: S2SSession, cfg: RunConfig, multi_round: bool, stream: b
             print()
             if wavs:
                 path = str(out_dir / f"round{rnd}.wav")
-                write_wav(path, np.concatenate(wavs))
+                write_wav(path, np.concatenate(wavs), session.codec.sample_rate)
                 print(f"[audio -> {path}]")
         else:
             text, wav, _ = session.run_round(wav_path, text_input, keep_history=multi_round)

@@ -36,6 +36,7 @@ def snac_answer_token_layout(flat_tokens: Sequence[int], cfg: SnacConfig = SnacC
     frames of padding, terminated with EOA, tail-padded to equal length."""
     toks = list(flat_tokens)
     n_frames = len(toks) // 8
+    toks = toks[: n_frames * 8]  # ignore a trailing partial frame
     audio_length = n_frames + 8
     layers = []
     for layer in range(1, 8):
@@ -48,14 +49,10 @@ def snac_answer_token_layout(flat_tokens: Sequence[int], cfg: SnacConfig = SnacC
     return np.asarray(layers, np.int64), audio_length
 
 
-def snac_streams_to_codebooks(streams: np.ndarray, cfg: SnacConfig = SnacConfig()):
-    """Generated staggered streams (7, T) -> SNAC codebook tensors
-    [(1, t), (1, 2t), (1, 4t)] (reference snac_utils.reconscruct_snac +
-    reconstruct_tensors). Un-staggers layer j by dropping its j+1 leading
-    slots, then regroups frame-wise [c0 | c1 c4 | c2 c3 c5 c6]."""
-    rows = [streams[j][j + 1 :] for j in range(7)]
-    t = min(len(r) for r in rows)
-    rows = [np.asarray(r[:t]) % (cfg.audio_vocab_size + 64) for r in rows]
+def _snac_regroup(rows: List[np.ndarray]):
+    """Seven equal-length un-staggered rows -> SNAC codebook tensors
+    [(1, t), (1, 2t), (1, 4t)], frame-wise [c0 | c1 c4 | c2 c3 c5 c6]."""
+    t = len(rows[0])
     cb0 = rows[0][None, :]
     cb1 = np.empty((1, 2 * t), np.int64)
     cb1[0, 0::2] = rows[1]
@@ -66,6 +63,32 @@ def snac_streams_to_codebooks(streams: np.ndarray, cfg: SnacConfig = SnacConfig(
     cb2[0, 2::4] = rows[5]
     cb2[0, 3::4] = rows[6]
     return [cb0, cb1, cb2]
+
+
+def snac_frame_window(streams, f0: int, f1: int, cfg: SnacConfig = SnacConfig()):
+    """Un-stagger frames [f0, f1) out of FULL staggered streams: layer j's
+    token for frame f sits at position f + j + 1 (the j+1 leading delay slots
+    the training layout inserts). Streaming decode uses this to cut chunk
+    waveforms without losing the cross-chunk stagger (the reference's
+    get_snac indexes the full history the same way, snac_utils.py:38-46)."""
+    rows = [
+        np.asarray(streams[j][f0 + j + 1 : f1 + j + 1], np.int64)
+        % (cfg.audio_vocab_size + 64)
+        for j in range(7)
+    ]
+    return _snac_regroup(rows)
+
+
+def snac_num_frames(streams, cfg: SnacConfig = SnacConfig()) -> int:
+    """Number of complete frames in staggered streams (layer 6 needs
+    position f + 7)."""
+    return max(0, min(len(streams[j]) for j in range(7)) - 7)
+
+
+def snac_streams_to_codebooks(streams: np.ndarray, cfg: SnacConfig = SnacConfig()):
+    """Generated staggered streams (7, T) -> SNAC codebook tensors
+    (reference snac_utils.reconscruct_snac + reconstruct_tensors)."""
+    return snac_frame_window(streams, 0, snac_num_frames(streams, cfg), cfg)
 
 
 def cosyvoice_group_to_stream(streams: np.ndarray) -> np.ndarray:
@@ -142,22 +165,37 @@ class CodecDecoder:
             spk_embedding=spk_embedding,
         )
 
+    def _decode_snac_codebooks(self, cbs) -> np.ndarray:
+        if self.snac_params is not None:
+            from slam_llm_tpu.models.snac import snac_decode
+
+            cfg = self.snac_cfg
+            cbs = [c % cfg.codebook_size for c in cbs]
+            return snac_decode(self.snac_params, cbs, cfg)[0]
+        if self.decode_fn is not None:
+            return np.asarray(self.decode_fn(cbs))
+        raise RuntimeError(
+            "no vocoder attached: use CodecDecoder.from_snac_checkpoint(path) "
+            "or construct with snac_params/decode_fn"
+        )
+
+    def num_frames(self, streams) -> int:
+        """Complete (all-layer-present) frames in staggered SNAC streams."""
+        return snac_num_frames(streams)
+
+    def decode_window(self, streams, f0: int, f1: int) -> Optional[np.ndarray]:
+        """SNAC streaming: decode frames [f0, f1) against the FULL staggered
+        history, so chunk boundaries don't eat the per-layer delays."""
+        if self.codec_type != "snac":
+            raise RuntimeError("decode_window is SNAC-specific")
+        if f1 <= f0:
+            return None
+        return self._decode_snac_codebooks(snac_frame_window(streams, f0, f1))
+
     def decode(self, streams: np.ndarray) -> np.ndarray:
         """Staggered generated streams (L, T) -> waveform float32 (samples,)."""
         if self.codec_type == "snac":
-            cbs = snac_streams_to_codebooks(streams)
-            if self.snac_params is not None:
-                from slam_llm_tpu.models.snac import snac_decode
-
-                cfg = self.snac_cfg
-                cbs = [c % cfg.codebook_size for c in cbs]
-                return snac_decode(self.snac_params, cbs, cfg)[0]
-            if self.decode_fn is not None:
-                return np.asarray(self.decode_fn(cbs))
-            raise RuntimeError(
-                "no vocoder attached: use CodecDecoder.from_snac_checkpoint(path) "
-                "or construct with snac_params/decode_fn"
-            )
+            return self._decode_snac_codebooks(snac_streams_to_codebooks(streams))
         # CosyVoice: grouped streams -> flat tokens -> flow mel -> HiFT wav
         tokens = cosyvoice_group_to_stream(streams)
         if self.flow_params is not None:

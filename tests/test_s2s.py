@@ -275,3 +275,49 @@ def test_specaug_masks():
     assert out.shape == mel.shape
     assert (out == 0.0).any()  # something masked
     assert (out == 5.0).any()  # not everything
+
+
+def test_trim_generated_any_layer_eoa_fallback():
+    """The generator freezes all audio layers to pads after the FIRST EOA
+    (any layer, like the reference); with the staggered layout the last
+    layer never emits EOA, so trim must cut at the first any-layer EOA
+    instead of keeping the max_new pad tail."""
+    from slam_llm_tpu.models.s2s import VocabConfig
+
+    v = VocabConfig()
+    L = v.code_layer
+    max_new, n_frames = 40, 10
+    toks = np.full((L + 1, max_new), v.pad_a, np.int64)
+    toks[L, :] = v.pad_t
+    for l in range(L):  # stagger: layer l delayed by l+1 slots
+        toks[l, l + 1 : l + 1 + n_frames] = 100 + l
+    toks[0, n_frames + 1] = v.eoa  # layer 0's EOA freezes the rest
+    toks[L, :3] = 5
+    toks[L, 3] = v.eot
+    out = trim_generated(toks, v)
+    assert all(len(r) == n_frames + 1 for r in out[:L])
+    assert not any((np.asarray(r) == v.eoa).any() for r in out[:L])
+    assert len(out[L]) == 3
+
+    # no EOA at all: strip the trailing all-pad tail
+    toks2 = toks.copy()
+    toks2[0, n_frames + 1] = 100
+    out2 = trim_generated(toks2, v)
+    assert all(len(r) == n_frames + 1 + 6 for r in out2[:L])  # last layer data ends at 6+1+n_frames
+
+
+def test_snac_frame_window_matches_full_unstagger():
+    """Windowed (streaming) un-stagger over the full history must equal the
+    one-shot un-stagger — chunk boundaries lose no frames."""
+    from slam_llm_tpu.utils.codec_utils import snac_frame_window, snac_num_frames
+
+    rng = np.random.default_rng(3)
+    T = 31
+    streams = rng.integers(0, 4096, (7, T)).astype(np.int64)
+    full = snac_streams_to_codebooks(streams)
+    nf = snac_num_frames(streams)
+    assert nf == T - 7
+    pieces = [snac_frame_window(streams, f0, min(f0 + 7, nf)) for f0 in range(0, nf, 7)]
+    for k in range(3):
+        got = np.concatenate([p[k] for p in pieces], axis=1)
+        np.testing.assert_array_equal(got, full[k])
