@@ -22,6 +22,7 @@ tests/test_cosyvoice_flow.py).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -29,6 +30,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from slam_llm_tpu.ops.torch_port import conv1d_nct as _conv1d, to_np as _np
 
 
 @dataclass(frozen=True)
@@ -94,14 +97,6 @@ def _groupnorm(x, scale, bias, groups, eps=1e-5):
 
 def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
-
-
-def _conv1d(x, w, b, *, stride=1, padding=0, lhs_dilation=1, pad_hi=None):
-    y = jax.lax.conv_general_dilated(
-        x, w, (stride,), [(padding, padding if pad_hi is None else pad_hi)],
-        lhs_dilation=(lhs_dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    return y if b is None else y + b[None, :, None]
 
 
 def _linear_interp(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -293,6 +288,36 @@ def estimator_apply(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _cfm_solve_jit(p, mu, spks, cond, z, cfg: FlowConfig):
+    """One compiled Euler ODE solve (``cfg`` static, one trace per mel
+    length). The conditional/unconditional CFG pair is stacked into a single
+    batch-2B estimator call — half the U-Net dispatches, and the two passes
+    share every weight load."""
+    ts = jnp.linspace(0, 1, cfg.n_timesteps + 1)
+    ts = 1 - jnp.cos(ts * 0.5 * jnp.pi)
+    r = cfg.inference_cfg_rate
+    b = mu.shape[0]
+    if r > 0:
+        mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+        spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+        cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+    def body(step, x):
+        t = ts[step - 1][None]
+        dt = ts[step] - ts[step - 1]
+        if r > 0:
+            vv = estimator_apply(
+                p, jnp.concatenate([x, x], axis=0), mu2, t, spks2, cond2, cfg
+            )
+            v = (1.0 + r) * vv[:b] - r * vv[b:]
+        else:
+            v = estimator_apply(p, x, mu, t, spks, cond, cfg)
+        return x + dt * v
+
+    return jax.lax.fori_loop(1, cfg.n_timesteps + 1, body, z)
+
+
 def cfm_solve(
     p: Dict, mu: jnp.ndarray, spks: jnp.ndarray, cond: jnp.ndarray,
     cfg: FlowConfig, rng: jax.Array, temperature: float = 1.0,
@@ -303,22 +328,7 @@ def cfm_solve(
     the initial noise (parity tests / streaming continuity cache)."""
     if z is None:
         z = jax.random.normal(rng, mu.shape, mu.dtype) * temperature
-    ts = jnp.linspace(0, 1, cfg.n_timesteps + 1)
-    ts = 1 - jnp.cos(ts * 0.5 * jnp.pi)
-    x = z
-    r = cfg.inference_cfg_rate
-    for step in range(1, cfg.n_timesteps + 1):
-        t = ts[step - 1][None]
-        dt = ts[step] - ts[step - 1]
-        v = estimator_apply(p, x, mu, t, spks, cond, cfg)
-        if r > 0:
-            v0 = estimator_apply(
-                p, x, jnp.zeros_like(mu), t, jnp.zeros_like(spks),
-                jnp.zeros_like(cond), cfg,
-            )
-            v = (1.0 + r) * v - r * v0
-        x = x + dt * v
-    return x
+    return _cfm_solve_jit(p, mu, spks, cond, z, cfg)
 
 
 def flow_token2mel(
@@ -379,10 +389,6 @@ def flow_token2mel(
 # ---------------------------------------------------------------------------
 # torch conversion
 # ---------------------------------------------------------------------------
-
-
-def _np(v):
-    return np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
 
 
 def _t(v):

@@ -28,6 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from slam_llm_tpu.ops.torch_port import (
+    conv1d_nct as _conv1d,
+    fold_weight_norm as _fold_wn,
+    snake as _snake,
+    to_np as _np,
+)
+
 
 @dataclass(frozen=True)
 class HiFTConfig:
@@ -72,20 +79,6 @@ class HiFTConfig:
 # ---------------------------------------------------------------------------
 # primitives (B, C, T)
 # ---------------------------------------------------------------------------
-
-
-def _conv1d(x, w, b, *, stride=1, padding=0, dilation=1, lhs_dilation=1, pad_hi=None):
-    y = jax.lax.conv_general_dilated(
-        x, w, (stride,), [(padding, padding if pad_hi is None else pad_hi)],
-        lhs_dilation=(lhs_dilation,), rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    return y if b is None else y + b[None, :, None]
-
-
-def _snake(x, alpha):
-    a = alpha[None, :, None]
-    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
 
 
 def _leaky(x, slope):
@@ -256,21 +249,6 @@ def hift_decode(
 # ---------------------------------------------------------------------------
 # torch conversion
 # ---------------------------------------------------------------------------
-
-
-def _np(v):
-    return np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
-
-
-def _fold_wn(sd, prefix):
-    for gk, vk in ((f"{prefix}.weight_g", f"{prefix}.weight_v"),
-                   (f"{prefix}.parametrizations.weight.original0",
-                    f"{prefix}.parametrizations.weight.original1")):
-        if gk in sd:
-            g, v = _np(sd[gk]), _np(sd[vk])
-            axes = tuple(range(1, v.ndim))
-            return g * v / np.maximum(np.sqrt((v * v).sum(axes, keepdims=True)), 1e-12)
-    return _np(sd[f"{prefix}.weight"])
 
 
 def _resblock_params(sd, prefix, kernel, dilations):

@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from slam_llm_tpu.ops.torch_port import (
+    conv1d_nct as _conv1d,
+    fold_weight_norm as _fold_weight_norm,
+    snake as _snake,
+)
+
 
 @dataclass(frozen=True)
 class SNACConfig:
@@ -58,30 +64,6 @@ class SNACConfig:
 # ---------------------------------------------------------------------------
 # primitive ops (B, C, T)
 # ---------------------------------------------------------------------------
-
-
-def _conv1d(x, w_oik, b, *, stride=1, padding=0, dilation=1, groups=1, lhs_dilation=1, pad_hi=None):
-    """torch-Conv1d semantics on (B, C, T); w is (O, I/groups, K)."""
-    pad_lo = padding
-    pad_hi = padding if pad_hi is None else pad_hi
-    y = jax.lax.conv_general_dilated(
-        x, w_oik,
-        window_strides=(stride,),
-        padding=[(pad_lo, pad_hi)],
-        lhs_dilation=(lhs_dilation,),
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=groups,
-    )
-    if b is not None:
-        y = y + b[None, :, None]
-    return y
-
-
-def _snake(x, alpha):
-    """Snake activation: x + (1/alpha) sin^2(alpha x); alpha (C,)."""
-    a = alpha[None, :, None]
-    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -165,24 +147,6 @@ def snac_decode(
 # ---------------------------------------------------------------------------
 # torch checkpoint conversion
 # ---------------------------------------------------------------------------
-
-
-def _fold_weight_norm(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
-    """weight = g * v / ||v|| with the norm over all dims except dim 0
-    (torch weight_norm default). Handles both the legacy ``weight_g/weight_v``
-    and the new ``parametrizations.weight.original0/1`` layouts, plus plain
-    ``weight``."""
-    for g_key, v_key in (
-        (f"{prefix}.weight_g", f"{prefix}.weight_v"),
-        (f"{prefix}.parametrizations.weight.original0", f"{prefix}.parametrizations.weight.original1"),
-    ):
-        if g_key in sd:
-            g = np.asarray(sd[g_key], np.float32)
-            v = np.asarray(sd[v_key], np.float32)
-            axes = tuple(range(1, v.ndim))
-            norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
-            return g * v / np.maximum(norm, 1e-12)
-    return np.asarray(sd[f"{prefix}.weight"], np.float32)
 
 
 def _bias(sd, prefix):
