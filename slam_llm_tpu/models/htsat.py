@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slam_llm_tpu.ops.torch_port import resize_bicubic_align_corners, to_np
+
 
 @dataclass(frozen=True)
 class HTSATConfig:
@@ -269,10 +271,16 @@ class HTSAT(nn.Module):
         b, ch, t, f = x.shape
         target_t = c.spec_size * c.freq_ratio
         target_f = c.spec_size // c.freq_ratio
+        # reference reshape_wav2img asserts this with an actionable message;
+        # without it over-long mel input dies in an obscure reshape error
+        if t > target_t or f > target_f:
+            raise ValueError(
+                f"mel input ({t}, {f}) exceeds the HTSAT target "
+                f"({target_t}, {target_f}); crop or chunk longer audio"
+            )
         if t < target_t or f < target_f:
-            # torch uses bicubic align_corners=True; jax.image.resize is
-            # close but not bit-equal — exact-size inputs skip this path
-            x = jax.image.resize(x, (b, ch, max(t, target_t), max(f, target_f)), "bicubic")
+            # torch bicubic align_corners=True, reproduced exactly
+            x = resize_bicubic_align_corners(x, target_t, max(f, target_f))
         x = x.transpose(0, 1, 3, 2)  # (B, 1, F, T)
         x = x.reshape(b, ch, target_f, c.freq_ratio, target_t // c.freq_ratio)
         x = x.transpose(0, 1, 3, 2, 4)
@@ -297,7 +305,7 @@ def convert_htsat_torch_state(sd: Dict[str, Any], cfg: HTSATConfig = HTSATConfig
     for k, v in sd.items():
         if k.startswith("sed_model."):
             k = k[len("sed_model."):]
-        npd[k] = np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
+        npd[k] = to_np(v)
     sd = npd
 
     p: Dict[str, Any] = {}

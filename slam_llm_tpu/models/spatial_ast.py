@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from slam_llm_tpu.models.layers import LayerNorm
+from slam_llm_tpu.ops.torch_port import resize_bicubic_align_corners, to_np
 from slam_llm_tpu.models.vit import ViTBlock, ViTEncoderConfig, sincos_2d_positions
 
 SR = 32000
@@ -46,19 +47,22 @@ TARGET_FRAMES = 1024
 
 
 def _hann(n: int) -> np.ndarray:
-    return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)).astype(np.float64)
+    return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)).astype(np.float32)
 
 
 def stft_centered(x: np.ndarray, n_fft: int = N_FFT, hop: int = HOP) -> np.ndarray:
     """(..., T) -> complex (..., frames, n_fft//2+1); centered, reflect pad,
-    periodic hann — torchlibrosa/torch.stft semantics."""
-    x = np.asarray(x, np.float64)
+    periodic hann — torchlibrosa/torch.stft semantics. float32 end-to-end
+    (like the torch reference; numpy's rfft would silently upcast to f64 and
+    ~double the host preprocessing cost — see ops/audio._rfft_f32)."""
+    from slam_llm_tpu.ops.audio import _rfft_f32
+
+    x = np.asarray(x, np.float32)
     pad = n_fft // 2
     x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    n_frames = 1 + (x.shape[-1] - n_fft) // hop
-    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[..., idx] * _hann(n_fft)
-    return np.fft.rfft(frames, axis=-1)
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft, axis=-1)[..., ::hop, :]
+    frames = np.ascontiguousarray(frames * _hann(n_fft))
+    return _rfft_f32(frames)
 
 
 def mel_filterbank_slaney(
@@ -175,7 +179,10 @@ class SpatialASTEncoder(nn.Module):
 
         if x.shape[2] < c.target_frames:
             # reference bicubic-interpolates short inputs to 1024 frames
-            x = jax.image.resize(x, (b, 4, c.target_frames, x.shape[3]), "bicubic")
+            # (torch align_corners=True; every real SELD clip is 1001 frames
+            # so this path runs on every sample — exactness matters for the
+            # frozen BAT checkpoint)
+            x = resize_bicubic_align_corners(x, c.target_frames, x.shape[3])
         else:
             x = x[:, :, : c.target_frames]
 
@@ -236,7 +243,7 @@ def convert_spatialast_torch(sd: Dict[str, Any], cfg: SpatialASTConfig = Spatial
     """BAT/Spatial-AST checkpoint (timm ViT schema) -> SpatialASTEncoder tree.
 
     Folds conv_downsample's BatchNorm into the conv; splits the fused qkv."""
-    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
+    sd = {k: to_np(v)
           for k, v in sd.items()}
     p: Dict[str, Any] = {}
     p["bn_mean"] = sd["bn.running_mean"]

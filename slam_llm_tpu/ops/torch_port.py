@@ -5,6 +5,8 @@ that models/{snac,hift,cosyvoice_flow}.py previously each re-implemented.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Dict, Optional
 
 import jax
@@ -65,3 +67,49 @@ def fold_weight_norm(sd: Dict, prefix: str) -> np.ndarray:
             norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
             return g * v / np.maximum(norm, 1e-12)
     return to_np(sd[f"{prefix}.weight"])
+
+
+
+@functools.lru_cache(maxsize=32)
+def _cubic_matrix(t_in: int, t_out: int) -> np.ndarray:
+    """(t_out, t_in) float32 interpolation matrix reproducing torch
+    F.interpolate(mode='bicubic'|'cubic', align_corners=True) along one axis
+    (cubic convolution kernel a=-0.75, border-clamped taps). Separable, so
+    applying per-axis matches torch's 2-D bicubic exactly."""
+    a = -0.75
+    if t_out == t_in:
+        return np.eye(t_out, dtype=np.float32)
+    src = np.arange(t_out, dtype=np.float64) * (t_in - 1) / max(t_out - 1, 1)
+    base = np.floor(src).astype(np.int64)
+    f = src - base
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    w = np.zeros((t_out, t_in), np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(base + tap, 0, t_in - 1)
+        np.add.at(w, (np.arange(t_out), idx), k(f - tap))
+    return w.astype(np.float32)
+
+
+def resize_bicubic_align_corners(x: jnp.ndarray, out_t: int, out_f: int) -> jnp.ndarray:
+    """(B, C, T, F) -> (B, C, out_t, out_f), torch bicubic align_corners=True.
+
+    HIGHEST precision: the default f32 matmul on TPU is one truncated-bf16
+    MXU pass (~4e-3 rel error), which would swamp the parity this exists
+    to provide; the matrices are tiny, exactness is the point."""
+    hi = jax.lax.Precision.HIGHEST
+    b, c, t, f = x.shape
+    if t != out_t:
+        wt = jnp.asarray(_cubic_matrix(t, out_t))
+        x = jnp.einsum("ot,bctf->bcof", wt, x, precision=hi)
+    if f != out_f:
+        wf = jnp.asarray(_cubic_matrix(f, out_f))
+        x = jnp.einsum("pf,bctf->bctp", wf, x, precision=hi)
+    return x

@@ -88,7 +88,7 @@ def materialize_params(model, cfg: RunConfig, mesh, example_batch) -> Any:
     if mc.llm_path or mc.encoder_path:
         from slam_llm_tpu.utils.hf_loader import load_pretrained_into
 
-        params = load_pretrained_into(params, model.cfg, mc, mesh, shardings)
+        params = load_pretrained_into(params, model.cfg, mc, shardings)
 
     if cfg.ckpt_path:
         ckpt = cfg.ckpt_path

@@ -107,10 +107,15 @@ def augment_manifest_with_rag(
     return n
 
 
+def _npz_path(path: str) -> str:
+    # np.savez auto-appends .npz; normalize so save/load accept the same string
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_support(path: str, captions: Sequence[str], embeds: np.ndarray) -> None:
-    np.savez(path, captions=np.asarray(list(captions), dtype=object), embeds=embeds)
+    np.savez(_npz_path(path), captions=np.asarray(list(captions), dtype=object), embeds=embeds)
 
 
 def load_support(path: str) -> Tuple[List[str], np.ndarray]:
-    d = np.load(path, allow_pickle=True)
+    d = np.load(_npz_path(path), allow_pickle=True)
     return [str(c) for c in d["captions"]], np.asarray(d["embeds"], np.float32)

@@ -174,16 +174,24 @@ def _overlay(dst: Dict[str, Any], src: Dict[str, Any], path: str = "") -> None:
             dst[k] = v
 
 
-def load_pretrained_into(params, slam_cfg, model_config, mesh, shardings):
+def load_pretrained_into(params, slam_cfg, model_config, shardings):
     """Overlay HF llm/encoder weights onto initialized params, preserving
     shardings (leaves are device_put per their NamedSharding)."""
     import jax.numpy as jnp
 
     host = jax.tree_util.tree_map(np.asarray, params)
-    if model_config.llm_path and os.path.isdir(model_config.llm_path):
+    for which in ("llm_path", "encoder_path"):
+        p = getattr(model_config, which)
+        if p and not os.path.isdir(p):
+            # a typo here must not silently train random-init weights
+            raise FileNotFoundError(
+                f"model_config.{which}={p!r} is not a checkpoint directory "
+                "(expected an HF dir with config.json + safetensors/bin)"
+            )
+    if model_config.llm_path:
         sub = convert_llama(load_hf_state_dict(model_config.llm_path), slam_cfg.llm)
         _overlay(host["llm"], sub)
-    if model_config.encoder_path and os.path.isdir(model_config.encoder_path):
+    if model_config.encoder_path:
         if model_config.encoder_name == "whisper":
             sub = convert_whisper_encoder(
                 load_hf_state_dict(model_config.encoder_path), slam_cfg.encoder

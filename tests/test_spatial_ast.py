@@ -22,16 +22,19 @@ from slam_llm_tpu.models.vit import sincos_2d_positions
 
 
 def test_stft_matches_torch():
+    """float32 end-to-end (like the torch reference frontend); tolerance is
+    f32 FFT accumulation over 1024-point frames on ~32-magnitude coeffs."""
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((2, 8000)).astype(np.float64)
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
     got = stft_centered(x, n_fft=1024, hop=320)
+    assert got.dtype == np.complex64
     want = torch.stft(
         torch.from_numpy(x), n_fft=1024, hop_length=320, win_length=1024,
-        window=torch.hann_window(1024, periodic=True, dtype=torch.float64),
+        window=torch.hann_window(1024, periodic=True),
         center=True, pad_mode="reflect", return_complex=True,
     ).numpy().transpose(0, 2, 1)  # torch: (B, F, frames) -> (B, frames, F)
     n = min(got.shape[1], want.shape[1])
-    np.testing.assert_allclose(got[:, :n], want[:, :n], atol=1e-8)
+    np.testing.assert_allclose(got[:, :n], want[:, :n], atol=2e-4)
 
 
 def test_mel_filterbank_properties():
