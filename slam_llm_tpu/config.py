@@ -186,6 +186,13 @@ class DataConfig:
     modal: str = "av"
     # e-chat dialog manifests (echat_dataset.py):
     data_path: Optional[str] = None
+    # spatial soundQA (spatial_dataset.py — seld_spatialsoundqa/BAT):
+    qa_data_root: Optional[str] = None
+    stage: Optional[str] = None  # stage1-clsdoa | stage2-single | stage3-mixup
+    anechoic_data_root: Optional[str] = None
+    reverb_data_root: Optional[str] = None
+    channel_type: str = "binaural"
+    ext_audio: str = ".wav"
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])

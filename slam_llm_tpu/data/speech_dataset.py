@@ -163,13 +163,12 @@ class SpeechDatasetJsonl:
 
     # ---- collation -------------------------------------------------------
 
-    def collator(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
-        """Left-pad prompt / right-pad answer to bucketed static shapes."""
+    def collate_text(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Text half of collation: left-pad prompt / right-pad answer to
+        bucketed static shapes. Subclasses with non-mel/raw audio payloads
+        (e.g. the binaural SELD dataset) reuse this and attach their own."""
         cfg = self.config
         text_buckets = list(getattr(cfg, "text_buckets", [64, 128, 192, 256]))
-        audio_buckets = list(
-            getattr(cfg, "audio_buckets", [48000, 96000, 160000, 240000, 480000])
-        )
         pad_id = self.tokenizer.pad_token_id
 
         prompt_lens = [s["audio_length"] + s["prompt_length"] for s in samples]
@@ -201,6 +200,19 @@ class SpeechDatasetJsonl:
         }
         if not self.inference_mode:
             out["labels"] = labels
+        else:
+            out["keys"] = [s["key"] for s in samples]
+            out["targets"] = [s["target"] for s in samples]
+        return out
+
+    def collator(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Full collation: text buckets + the mel/raw audio payload."""
+        cfg = self.config
+        audio_buckets = list(
+            getattr(cfg, "audio_buckets", [48000, 96000, 160000, 240000, 480000])
+        )
+        out = self.collate_text(samples)
+        b = len(samples)
 
         if self.input_type == "mel":
             mel_len = max(s["audio_mel"].shape[0] for s in samples)
@@ -222,10 +234,6 @@ class SpeechDatasetJsonl:
                 audio_mask[i, : len(s["audio"])] = 1
             out["audio"] = audio
             out["audio_mask"] = audio_mask
-
-        if self.inference_mode:
-            out["keys"] = [s["key"] for s in samples]
-            out["targets"] = [s["target"] for s in samples]
         return out
 
     def sort_key(self, index: int) -> int:

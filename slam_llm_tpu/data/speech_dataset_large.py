@@ -205,11 +205,12 @@ class TokenBudgetBatcher:
         return batch
 
 
-class _CollatorShim:
-    """Duck-typed adapter letting the map-style collator serve the iterable
-    dataset (same tokenizer/config/input_type surface)."""
+class _CollatorShim(SpeechDatasetJsonl):
+    """Adapter letting the map-style collator (collate_text + audio payload)
+    serve the iterable dataset — same tokenizer/config/input_type surface,
+    no manifest load (parent __init__ deliberately not called)."""
 
-    def __init__(self, ds: MultiTaskDataset):
+    def __init__(self, ds: MultiTaskDataset):  # noqa: super().__init__
         self.config = ds.config
         self.tokenizer = ds.tokenizer
         self.inference_mode = ds.inference_mode

@@ -82,6 +82,10 @@ def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
         from slam_llm_tpu.data.vallex_dataset import get_vallex_dataset
 
         return get_vallex_dataset
+    if name == "spatial_audio_dataset":
+        from slam_llm_tpu.data.spatial_dataset import get_spatial_audio_dataset
+
+        return get_spatial_audio_dataset
     if name == "speech_dataset_large":
         from slam_llm_tpu.data.speech_dataset_large import get_speech_dataset_large
 
