@@ -46,6 +46,8 @@ class ModelConfig:
     encoder_type: str = "finetune"
     qformer_layers: int = 8
     query_len: int = 64
+    qformer_dim: int = 768  # BLIP-2 QFormer width (reference bert-base default)
+    qformer_heads: int = 12
     # S2S TTS adapter (reference s2s_config.py:93-94)
     tts_adapter: bool = False
     tts_adapter_layers: int = 6

@@ -97,7 +97,14 @@ class SpatialAudioDatasetJsonl(SpeechDatasetJsonl):
         qa_root = getattr(dataset_config, "qa_data_root", None)
         if qa_root:
             stage = getattr(dataset_config, "stage", None) or ""
-            path = os.path.join(qa_root, stage, split + ".json")
+            # reference manifests are named train/val/eval/test.json; the
+            # pipeline's split names differ ("validation") — resolve aliases
+            aliases = {"validation": ("val", "eval", "test"),
+                       "val": ("validation", "eval", "test"),
+                       "test": ("eval", "val", "validation")}
+            candidates = [split, *aliases.get(split, ())]
+            paths = [os.path.join(qa_root, stage, c + ".json") for c in candidates]
+            path = next((p for p in paths if os.path.exists(p)), paths[0])
             with open(path, encoding="utf-8") as fin:
                 self.data_list: List[dict] = json.load(fin)["data"]
         else:

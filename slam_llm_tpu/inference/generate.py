@@ -274,6 +274,9 @@ class Generator:
             in (
                 "input_ids", "attention_mask", "modality_mask",
                 "audio_mel", "audio_mel_mask", "audio", "audio_mask",
+                "audio_binaural",                       # spatial_ast (seld)
+                "visual", "visual_mask", "audio_feats",  # av_hubert (vsr)
+                "text_input_ids", "text_input_mask",    # hf-text encoder
             )
         }
         if cfg.num_beams > 1 and not cfg.do_sample:

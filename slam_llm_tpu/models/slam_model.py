@@ -333,6 +333,8 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         ds_rate=mc.encoder_projector_ds_rate,
         query_len=mc.query_len,
         qformer_layers=mc.qformer_layers,
+        qformer_dim=getattr(mc, "qformer_dim", 768),
+        qformer_heads=getattr(mc, "qformer_heads", 12),
     )
     return SLAMConfig(
         llm=llm_cfg,

@@ -90,6 +90,9 @@ def main(cfg: RunConfig):
                 audio_s += float(batch["audio_mel_mask"].sum()) * 0.01  # 10ms hop
             elif "audio_mask" in batch:
                 audio_s += float(batch["audio_mask"].sum()) / 16000.0
+            elif "audio_binaural" in batch:
+                # (B, 4, frames, mels); 10 ms hop at 32 kHz
+                audio_s += float(batch["audio_binaural"].shape[0] * batch["audio_binaural"].shape[2]) * 0.01
     rtf = t_total / audio_s if audio_s else float("nan")
     logger.info("decoded %d utts in %.1fs (RTF=%.4f) -> %s", n, t_total, rtf, pred_path)
     return {"n": n, "seconds": t_total, "rtf": rtf, "pred": pred_path, "gt": gt_path}

@@ -40,7 +40,7 @@ def _make_seld_corpus(tmp_path, n=3):
                 "audio_id2": f"clip{(i + 1) % n}" if i == 2 else None,
                 "reverb_id2": f"ir{(i + 1) % n}.npy" if i == 2 else None,
                 "question": f"What direction is sound {i}?",
-                "answer": f"left; class {i}",
+                "answer": f"left; class {i % 2}",  # 2 classes: overfittable by the e2e recipe test
                 "question_type": "doa",
                 "question_id": i,
             }
