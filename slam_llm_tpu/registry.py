@@ -82,6 +82,10 @@ def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
         from slam_llm_tpu.data.vallex_dataset import get_vallex_dataset
 
         return get_vallex_dataset
+    if name == "avhubert_dataset":
+        from slam_llm_tpu.data.avhubert_dataset import get_avhubert_dataset
+
+        return get_avhubert_dataset
     if name == "spatial_audio_dataset":
         from slam_llm_tpu.data.spatial_dataset import get_spatial_audio_dataset
 
