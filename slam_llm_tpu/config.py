@@ -134,6 +134,11 @@ class TrainConfig:
     shard: ShardConfig = field(default_factory=ShardConfig)
     max_steps_per_epoch: int = -1  # debug: cap steps
     log_interval: int = 5
+    # decode one wav after each validation pass and log the text (reference
+    # train_utils.py:306-320 qualitative mid-training check)
+    run_test_during_validation: bool = False
+    run_test_during_validation_file: Optional[str] = None
+    run_test_during_validation_prompt: Optional[str] = None
     specaug: bool = False
     # Storage dtype for the FROZEN subtree (base LLM + encoder). fp32 masters
     # only matter for params the optimizer updates; keeping frozen weights

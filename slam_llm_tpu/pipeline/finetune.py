@@ -91,9 +91,41 @@ def main(cfg: RunConfig):
         count_params(state["trainable"]) / 1e6,
         count_params(state["frozen"]) / 1e6,
     )
+    decode_hook = None
+    if tc.run_test_during_validation and tc.run_test_during_validation_file:
+        from slam_llm_tpu.data.speech_dataset import DEFAULT_PROMPT
+        from slam_llm_tpu.inference.generate import (
+            GenerationConfig,
+            Generator,
+            strip_after_eos,
+        )
+        from slam_llm_tpu.pipeline.inference import encode_one
+        from slam_llm_tpu.train.optimizer import merge_params
+
+        dc = cfg.decode_config
+        gen = Generator(model, GenerationConfig(
+            max_new_tokens=dc.max_new_tokens, num_beams=1,
+            eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id,
+            bos_token_id=tokenizer.bos_token_id,
+        ))
+        test_batch = encode_one(
+            tc.run_test_during_validation_file,
+            tc.run_test_during_validation_prompt
+            or cfg.dataset_config.prompt or DEFAULT_PROMPT,
+            tokenizer, cfg.dataset_config,
+        )
+
+        def decode_hook(state):
+            params = merge_params(state["trainable"], state["frozen"])
+            with mesh:
+                toks = gen.generate({"params": params}, test_batch)
+            toks = strip_after_eos(toks, tokenizer.eos_token_id, tokenizer.pad_token_id)
+            return tokenizer.decode(toks[0])
+
     results = train(
         trainer, state, train_loader, eval_loader,
         train_config=tc, log_config=cfg.log_config, tokenizer=tokenizer,
+        decode_hook=decode_hook,
     )
     logger.info("training done: best_val_loss=%s checkpoints=%s",
                 results.get("best_val_loss"), results.get("checkpoints"))

@@ -52,7 +52,12 @@ def train(
     train_config=None,
     log_config=None,
     tokenizer=None,
+    decode_hook=None,
 ) -> Dict[str, Any]:
+    """``decode_hook(state) -> str`` runs after every validation pass and its
+    result is logged — the reference's ``run_test_during_validation``
+    one-wav qualitative check (utils/train_utils.py:306-320); the pipeline
+    builds the closure since it owns config/tokenizer."""
     tc = train_config or trainer.train_config
     logger = MetricsLogger(log_config, tc) if log_config is not None else MetricsLogger(
         type("L", (), {"use_wandb": False, "log_file": None})()
@@ -105,6 +110,8 @@ def train(
                 ):
                     val = evaluate(trainer, state, eval_loader)
                     logger.log(val, step, prefix="valid")
+                    if decode_hook is not None:
+                        logger.logger.info("validation decode: %s", decode_hook(state))
                     if val["loss"] < best_val_loss and tc.save_model:
                         best_val_loss = val["loss"]
                         ckpt = _save_checkpoint(trainer, state, tc, epoch, step)
@@ -125,6 +132,8 @@ def train(
     if tc.run_validation and eval_loader is not None:
         val = evaluate(trainer, state, eval_loader)
         logger.log(val, step, prefix="valid")
+        if decode_hook is not None:
+            logger.logger.info("validation decode: %s", decode_hook(state))
         results["final_val"] = val
         if tc.save_model and (val["loss"] < best_val_loss or not results["checkpoints"]):
             best_val_loss = min(best_val_loss, float(val["loss"]))

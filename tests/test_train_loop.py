@@ -76,6 +76,27 @@ def test_no_cap_runs_full_loader():
     assert int(res["state"]["step"]) == 12
 
 
+def test_decode_hook_runs_after_each_validation():
+    """run_test_during_validation parity (reference train_utils.py:306-320):
+    the hook fires after every mid-epoch validation and the final one."""
+    tr = _StubTrainer()
+    tr.eval_step = lambda state, batch: {"loss": np.float32(1.0), "acc": np.float32(0.5)}
+    tc = _TC()
+    tc.run_validation = True
+    tc.validation_interval = 2  # fires at step 2 of each 2-step epoch
+    calls = []
+
+    def hook(state):
+        calls.append(int(state["step"]))
+        return f"STUB DECODE @ {int(state['step'])}"
+
+    state = {"step": np.int32(0)}
+    train(tr, state, _loader(5), eval_loader=_loader(1), train_config=tc,
+          decode_hook=hook)
+    # 3 epochs x 1 mid-epoch validation + 1 final
+    assert calls == [2, 4, 6, 6]
+
+
 def test_min_saves_policy_grads_match_default():
     """`min_saves` changes WHAT remat stores, never the math: gradients must
     be bit-comparable to the default dots_flash_saveable policy."""
