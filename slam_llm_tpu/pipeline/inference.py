@@ -30,7 +30,8 @@ def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config):
     audio_raw = audio_ops.load_audio(wav_path)
     audio_raw = audio_ops.pad_or_trim(audio_raw, max_samples)
     mel = audio_ops.log_mel_spectrogram(audio_raw, n_mels=mel_size)
-    audio_length = (mel.shape[0] + 1) // 2 // 5
+    ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
+    audio_length = (mel.shape[0] + 1) // 2 // ds_rate
     prompt_ids = tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
     input_ids = np.concatenate(
         [np.zeros(audio_length, np.int64), np.asarray(prompt_ids, np.int64)]
