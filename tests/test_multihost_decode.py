@@ -27,6 +27,12 @@ DRIVER = textwrap.dedent(
     import sys
     sys.path.insert(0, {repo!r})
     sys.path.insert(0, {tests!r})
+    # env JAX_PLATFORMS=cpu is NOT enough in this image: the axon
+    # sitecustomize hook force-inits its PJRT client on first get_backend()
+    # and hangs if the TPU relay is down — mutate jax.config like
+    # tests/conftest.py does (backends not yet initialized at this point)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from helpers import tiny_run_config
 
     cfg = tiny_run_config({manifest!r})
