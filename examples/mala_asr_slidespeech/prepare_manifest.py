@@ -49,10 +49,14 @@ def main(argv=None) -> int:
     hw_path = os.path.join(d, HOTWORDS_REL)
     hotwords = read_kv(hw_path) if os.path.exists(hw_path) else {}
 
-    n = 0
+    n = skipped = 0
     with open(args.output, "w", encoding="utf-8") as out:
         for key, wav in wavs.items():
             target = texts.get(key)
+            if not target:
+                # a null target would be trained/scored as the string "None"
+                skipped += 1
+                continue
             hw = hotwords.get(key)
             words = [w for w in hw.split("$") if w] if hw else []
             if args.lower:
@@ -63,7 +67,9 @@ def main(argv=None) -> int:
                 row["source_len"] = int(num_samples[key])
             out.write(json.dumps(row, ensure_ascii=False) + "\n")
             n += 1
-    print(f"wrote {n} rows to {args.output}", file=sys.stderr)
+    print(f"wrote {n} rows to {args.output}"
+          + (f" (skipped {skipped} with empty transcripts)" if skipped else ""),
+          file=sys.stderr)
     return 0
 
 

@@ -120,13 +120,7 @@ class AVHubertDatasetJsonl(SpeechDatasetJsonl):
         return base
 
     def collator(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
-        out = super().collator(
-            [{k: v for k, v in s.items() if k not in ("visual", "audio_feats")}
-             | {"audio_mel": np.zeros((1, 1), np.float32)}
-             for s in samples]
-        )
-        out.pop("audio_mel", None)
-        out.pop("audio_mel_mask", None)
+        out = self.collate_text(samples)
         b = len(samples)
         t_max = max(s["visual"].shape[0] for s in samples)
         visual = np.zeros((b, t_max, CROP, CROP), np.float32)

@@ -45,7 +45,10 @@ def main(cfg: RunConfig):
 
     model, tokenizer, train_ds = build_model_and_data(cfg, split=cfg.dataset_config.train_split)
     eval_ds = None
-    if cfg.train_config.run_validation and cfg.dataset_config.val_data_path:
+    has_val_source = cfg.dataset_config.val_data_path or getattr(
+        cfg.dataset_config, "qa_data_root", None  # spatial recipes: {stage}/val.json
+    )
+    if cfg.train_config.run_validation and has_val_source:
         from slam_llm_tpu.registry import get_custom_dataset_factory
 
         eval_ds = get_custom_dataset_factory(cfg.dataset_config)(
@@ -108,11 +111,20 @@ def main(cfg: RunConfig):
             eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id,
             bos_token_id=tokenizer.bos_token_id,
         ))
+        if cfg.model_config.encoder_name not in (None, "whisper"):
+            # encode_one builds a whisper-mel batch; other modalities would
+            # crash at the FIRST validation, hours into training — fail now
+            raise ValueError(
+                "run_test_during_validation supports mel (whisper) recipes; "
+                f"encoder {cfg.model_config.encoder_name!r} needs its dataset "
+                "pipeline — decode with pipeline.inference_batch instead"
+            )
         test_batch = encode_one(
             tc.run_test_during_validation_file,
             tc.run_test_during_validation_prompt
             or cfg.dataset_config.prompt or DEFAULT_PROMPT,
             tokenizer, cfg.dataset_config,
+            ds_rate=cfg.model_config.encoder_projector_ds_rate,
         )
 
         def decode_hook(state):

@@ -23,14 +23,19 @@ from slam_llm_tpu.pipeline.common import (
 )
 
 
-def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config):
-    """Build a batch of 1 with the dataset's exact token-assembly semantics."""
+def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config, ds_rate=None):
+    """Build a batch of 1 with the dataset's exact token-assembly semantics.
+
+    ``ds_rate`` should come from model_config.encoder_projector_ds_rate (the
+    value the projector was BUILT with); the dataset_config field is only a
+    fallback — the two can diverge via CLI overrides."""
     mel_size = getattr(dataset_config, "mel_size", 80)
     max_samples = int(getattr(dataset_config, "max_audio_length_s", 30.0) * audio_ops.SAMPLE_RATE)
     audio_raw = audio_ops.load_audio(wav_path)
     audio_raw = audio_ops.pad_or_trim(audio_raw, max_samples)
     mel = audio_ops.log_mel_spectrogram(audio_raw, n_mels=mel_size)
-    ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
+    if ds_rate is None:
+        ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
     audio_length = (mel.shape[0] + 1) // 2 // ds_rate
     prompt_ids = tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
     input_ids = np.concatenate(
@@ -81,7 +86,8 @@ def main(cfg: RunConfig):
         parts = line.split(maxsplit=1)
         wav = parts[0]
         prompt = parts[1] if len(parts) > 1 else (cfg.dataset_config.prompt or DEFAULT_PROMPT)
-        batch = encode_one(wav, prompt, tokenizer, cfg.dataset_config)
+        batch = encode_one(wav, prompt, tokenizer, cfg.dataset_config,
+                           ds_rate=cfg.model_config.encoder_projector_ds_rate)
         if params is None:
             params, _ = materialize_params(model, cfg, mesh, batch)
         with mesh:

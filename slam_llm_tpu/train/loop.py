@@ -66,6 +66,7 @@ def train(
     best_val_loss = float("inf")
     results: Dict[str, Any] = {"epoch_times": [], "checkpoints": []}
     step = int(state["step"])
+    last_val = None  # (step, metrics) of the latest mid-epoch validation
     log_interval = getattr(tc, "log_interval", 5)
 
     # jax.profiler window (SURVEY §5.1): trace steps [start, start+n)
@@ -109,6 +110,7 @@ def train(
                     and step % tc.validation_interval == 0
                 ):
                     val = evaluate(trainer, state, eval_loader)
+                    last_val = (step, val)
                     logger.log(val, step, prefix="valid")
                     if decode_hook is not None:
                         logger.logger.info("validation decode: %s", decode_hook(state))
@@ -130,10 +132,14 @@ def train(
 
     # end-of-training validation + final save
     if tc.run_validation and eval_loader is not None:
-        val = evaluate(trainer, state, eval_loader)
-        logger.log(val, step, prefix="valid")
-        if decode_hook is not None:
-            logger.logger.info("validation decode: %s", decode_hook(state))
+        if last_val is not None and last_val[0] == step:
+            # the last training step just validated this exact state — reuse
+            val = last_val[1]
+        else:
+            val = evaluate(trainer, state, eval_loader)
+            logger.log(val, step, prefix="valid")
+            if decode_hook is not None:
+                logger.logger.info("validation decode: %s", decode_hook(state))
         results["final_val"] = val
         if tc.save_model and (val["loss"] < best_val_loss or not results["checkpoints"]):
             best_val_loss = min(best_val_loss, float(val["loss"]))

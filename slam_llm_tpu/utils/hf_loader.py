@@ -174,34 +174,100 @@ def _overlay(dst: Dict[str, Any], src: Dict[str, Any], path: str = "") -> None:
             dst[k] = v
 
 
+def load_torch_checkpoint(path: str):
+    """torch ``.pt``/``.pth`` file -> state dict, unwrapping the common
+    fairseq/lightning nests ({'model': sd}, {'state_dict': sd}, ...)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    while isinstance(sd, dict):
+        for k in ("model", "state_dict", "module"):
+            if k in sd and isinstance(sd[k], dict):
+                sd = sd[k]
+                break
+        else:
+            break
+    return sd
+
+
+def convert_encoder_checkpoint(encoder_path: str, encoder_name: str, enc_cfg):
+    """Dispatch an encoder checkpoint to its family converter.
+
+    HF directories serve whisper/wavlm/hubert (the reference loads those via
+    transformers, models/encoder.py:8-47,109-128); single torch files serve
+    the fairseq/torch families the reference loads via fairseq or custom code
+    (encoder.py:65-78,94-107,129-155) — EAT, AV-HuBERT, hubert-fairseq,
+    BEATs, SpatialAST/BAT, CLAP/ASE."""
+    if os.path.isdir(encoder_path):
+        if encoder_name == "whisper":
+            return convert_whisper_encoder(load_hf_state_dict(encoder_path), enc_cfg)
+        if encoder_name in ("wavlm", "hubert"):
+            from slam_llm_tpu.models.wavlm import convert_wavlm
+
+            return convert_wavlm(load_hf_state_dict(encoder_path), enc_cfg)
+        raise ValueError(
+            f"encoder_name={encoder_name!r} cannot load an HF directory "
+            f"({encoder_path!r}); expected a torch checkpoint file"
+        )
+    if not os.path.exists(encoder_path):
+        # a typo here must not silently train random-init weights
+        raise FileNotFoundError(
+            f"model_config.encoder_path={encoder_path!r} does not exist "
+            "(expected an HF dir or a torch checkpoint file)"
+        )
+    sd = load_torch_checkpoint(encoder_path)
+    if encoder_name == "spatial_ast":
+        from slam_llm_tpu.models.spatial_ast import convert_spatialast_torch
+
+        return convert_spatialast_torch(sd, enc_cfg)
+    if encoder_name == "eat":
+        from slam_llm_tpu.models.vit import convert_eat_fairseq
+
+        return convert_eat_fairseq(sd, enc_cfg)
+    if encoder_name == "av_hubert":
+        from slam_llm_tpu.models.avhubert import convert_avhubert_fairseq
+
+        return convert_avhubert_fairseq(sd, enc_cfg)
+    if encoder_name == "beats":
+        from slam_llm_tpu.models.beats import convert_beats
+
+        return convert_beats(sd, enc_cfg)
+    if encoder_name == "hubert":
+        from slam_llm_tpu.models.wavlm import convert_hubert_fairseq
+
+        return convert_hubert_fairseq(sd, enc_cfg)
+    if encoder_name == "clap":
+        from slam_llm_tpu.models.clap import convert_ase_torch_state
+
+        return convert_ase_torch_state(sd, enc_cfg)
+    raise ValueError(
+        f"no file-checkpoint converter for encoder {encoder_name!r} "
+        f"({encoder_path!r}); supported: spatial_ast, eat, av_hubert, beats, "
+        "hubert, clap (+ whisper/wavlm/hubert via HF directories)"
+    )
+
+
 def load_pretrained_into(params, slam_cfg, model_config, shardings):
     """Overlay HF llm/encoder weights onto initialized params, preserving
     shardings (leaves are device_put per their NamedSharding)."""
     import jax.numpy as jnp
 
     host = jax.tree_util.tree_map(np.asarray, params)
-    for which in ("llm_path", "encoder_path"):
-        p = getattr(model_config, which)
-        if p and not os.path.isdir(p):
+    if model_config.llm_path:
+        if not os.path.isdir(model_config.llm_path):
             # a typo here must not silently train random-init weights
             raise FileNotFoundError(
-                f"model_config.{which}={p!r} is not a checkpoint directory "
-                "(expected an HF dir with config.json + safetensors/bin)"
+                f"model_config.llm_path={model_config.llm_path!r} is not a "
+                "checkpoint directory (expected an HF dir with config.json + "
+                "safetensors/bin)"
             )
-    if model_config.llm_path:
         sub = convert_llama(load_hf_state_dict(model_config.llm_path), slam_cfg.llm)
         _overlay(host["llm"], sub)
     if model_config.encoder_path:
-        if model_config.encoder_name == "whisper":
-            sub = convert_whisper_encoder(
-                load_hf_state_dict(model_config.encoder_path), slam_cfg.encoder
-            )
-            _overlay(host["encoder"], sub)
-        elif model_config.encoder_name in ("wavlm", "hubert"):
-            from slam_llm_tpu.models.wavlm import convert_wavlm
-
-            sub = convert_wavlm(load_hf_state_dict(model_config.encoder_path), slam_cfg.encoder)
-            _overlay(host["encoder"], sub)
+        sub = convert_encoder_checkpoint(
+            model_config.encoder_path, model_config.encoder_name, slam_cfg.encoder
+        )
+        _overlay(host["encoder"], sub)
 
     def put(x, old, s):
         arr = jnp.asarray(x, dtype=old.dtype)

@@ -25,12 +25,13 @@ def test_prepare_manifest(tmp_path, capsys):
         "hotwords": ["SLIDE", "KEYWORD", "OCR"],
         "source_len": 16000,
     }
-    # utt2: empty text line -> None target, empty hotword line -> []
-    assert rows[1]["target"] is None
-    assert rows[1]["hotwords"] == []
+    # utt2: empty text line -> row skipped (a null target would train the
+    # literal string "None"); skip is reported on stderr
+    assert len(rows) == 1
 
     # --lower mirrors dataset_config.lower
     assert main(["--scp-dir", str(d), "--output", str(out), "--lower"]) == 0
     rows = [json.loads(l) for l in open(out)]
     assert rows[0]["target"] == "hello slide world"
     assert rows[0]["hotwords"] == ["slide", "keyword", "ocr"]
+    assert len(rows) == 1

@@ -93,8 +93,9 @@ def test_decode_hook_runs_after_each_validation():
     state = {"step": np.int32(0)}
     train(tr, state, _loader(5), eval_loader=_loader(1), train_config=tc,
           decode_hook=hook)
-    # 3 epochs x 1 mid-epoch validation + 1 final
-    assert calls == [2, 4, 6, 6]
+    # 3 epochs x 1 mid-epoch validation; the final validation is skipped
+    # because the last step's validation already covered this exact state
+    assert calls == [2, 4, 6]
 
 
 def test_min_saves_policy_grads_match_default():
