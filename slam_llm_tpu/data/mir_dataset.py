@@ -55,7 +55,9 @@ class MIRDatasetJsonl(SpeechDatasetJsonl):
 
         if self.inference_mode:
             input_ids = np.concatenate([audio_pseudo, np.asarray(prompt_ids, np.int64)])
-            input_ids[input_ids == -1] = 0
+            # pseudo ids stay -1 in inference mode: the model clamps before
+            # embedding, and generate's repetition penalty uses -1 to exclude
+            # audio slots from prompt token counts (speech_dataset contract)
             return {
                 "input_ids": input_ids,
                 "attention_mask": np.ones_like(input_ids, np.int32),

@@ -137,39 +137,51 @@ class Generator:
             return jnp.argmax(lg, axis=-1)
 
         out_tokens = jnp.full((b, max_new), cfg.pad_token_id, jnp.int32)
-        finished = jnp.zeros((b,), bool)
+
+        # first token comes from the prefill logits OUTSIDE the loop, so the
+        # loop runs one forward per REMAINING token (the old shape ran a
+        # decode_step whose logits were discarded on the last iteration)
+        rng, sub = jax.random.split(rng)
+        tok0 = pick(next_logits, token_counts, sub).astype(jnp.int32)
+        out_tokens = out_tokens.at[:, 0].set(tok0)
+        finished = tok0 == cfg.eos_token_id
+        token_counts = token_counts.at[jnp.arange(b), tok0].add(1)
+
+        prompt_valid = jnp.pad(
+            batch["attention_mask"].astype(bool), ((0, 0), (0, max_len - t))
+        )
 
         def cond(state):
-            i, _, _, _, finished, _, _ = state
+            i, _, _, finished, _, _ = state
             return (i < max_new) & ~jnp.all(finished)
 
         def body(state):
-            i, next_logits, cache, out_tokens, finished, token_counts, rng = state
-            rng, sub = jax.random.split(rng)
-            tok = pick(next_logits, token_counts, sub).astype(jnp.int32)
-            tok = jnp.where(finished, cfg.pad_token_id, tok)
-            out_tokens = out_tokens.at[:, i].set(tok)
-            newly_finished = finished | (tok == cfg.eos_token_id)
-            token_counts = token_counts.at[jnp.arange(b), tok].add(1)
+            i, cache, out_tokens, finished, token_counts, rng = state
+            prev = jax.lax.dynamic_slice_in_dim(out_tokens, i - 1, 1, axis=1)  # (B, 1)
 
-            pos = prompt_len + i  # (B,)
-            cache_index = t + i  # static write slot: prompt bucket + i
+            pos = (prompt_len + i - 1)[:, None]
+            cache_index = t + i - 1  # write slot: prompt bucket + i-1
             # valid cache slots: the prompt's attention_mask over [0,t), plus
-            # generated slots [t, t+i]
-            gen_valid = (jnp.arange(max_len)[None, :] >= t) & (jnp.arange(max_len)[None, :] <= t + i)
-            prompt_valid = jnp.pad(
-                batch["attention_mask"].astype(bool), ((0, 0), (0, max_len - t))
+            # generated slots [t, t+i-1]
+            gen_valid = (jnp.arange(max_len)[None, :] >= t) & (
+                jnp.arange(max_len)[None, :] <= t + i - 1
             )
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
 
             logits, cache = model.apply(
-                params, tok[:, None], cache, jnp.int32(cache_index), step_mask,
-                pos[:, None], method="decode_step",
+                params, prev, cache, jnp.int32(cache_index), step_mask,
+                pos, method="decode_step",
             )
-            return (i + 1, logits[:, 0], cache, out_tokens, newly_finished, token_counts, rng)
+            rng, sub = jax.random.split(rng)
+            tok = pick(logits[:, 0], token_counts, sub).astype(jnp.int32)
+            tok = jnp.where(finished, cfg.pad_token_id, tok)
+            out_tokens = out_tokens.at[:, i].set(tok)
+            finished = finished | (tok == cfg.eos_token_id)
+            token_counts = token_counts.at[jnp.arange(b), tok].add(1)
+            return (i + 1, cache, out_tokens, finished, token_counts, rng)
 
-        state = (0, next_logits, cache, out_tokens, finished, token_counts, rng)
-        _, _, _, out_tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+        state = (1, cache, out_tokens, finished, token_counts, rng)
+        _, _, out_tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
         return out_tokens
 
     # ---- beam search ------------------------------------------------------
@@ -199,7 +211,12 @@ class Generator:
         att = jnp.repeat(batch["attention_mask"], k, axis=0)  # (B*K, t)
         prompt_len_k = jnp.repeat(prompt_len, k, axis=0)
 
+        # repetition penalty on the log-softmax scores, HF beam semantics
+        # (the processor runs on next_token_scores inside beam_search)
+        counts0 = _prompt_token_counts(batch, v)  # (B, V)
+
         logp0 = jax.nn.log_softmax(next_logits, axis=-1)  # (B, V)
+        logp0 = _apply_repetition_penalty(logp0, counts0, cfg.repetition_penalty)
 
         # initial expansion: top-k tokens of the first step
         top_lp, top_tok = jax.lax.top_k(logp0, k)  # (B, K)
@@ -207,10 +224,14 @@ class Generator:
         tokens = jnp.full((b, k, max_new), cfg.pad_token_id, jnp.int32)
         tokens = tokens.at[:, :, 0].set(top_tok)
         finished = top_tok == cfg.eos_token_id  # (B, K)
-        lengths = jnp.ones((b, k), jnp.int32)
+        # generated length per beam, EOS excluded (HF BeamHypotheses stores
+        # the hypothesis without the terminating EOS)
+        lengths = jnp.where(finished, 0, 1).astype(jnp.int32)
+        token_counts = jnp.repeat(counts0, k, axis=0)  # (B*K, V)
+        token_counts = token_counts.at[jnp.arange(b * k), top_tok.reshape(-1)].add(1)
 
         def step_fn(i, carry):
-            tokens, scores, finished, lengths, cache = carry
+            tokens, scores, finished, lengths, token_counts, cache = carry
             tok = tokens[:, :, i - 1].reshape(b * k)  # last emitted token
             pos = (prompt_len_k + i - 1)[:, None]
             cache_index = t + i - 1
@@ -224,7 +245,9 @@ class Generator:
                 params, tok[:, None], cache, jnp.int32(cache_index), step_mask, pos,
                 method="decode_step",
             )
-            logp = jax.nn.log_softmax(logits[:, 0].reshape(b, k, v), axis=-1)
+            logp = jax.nn.log_softmax(logits[:, 0], axis=-1)  # (B*K, V)
+            logp = _apply_repetition_penalty(logp, token_counts, cfg.repetition_penalty)
+            logp = logp.reshape(b, k, v)
 
             # finished beams may only extend with pad at no cost
             pad_only = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
@@ -240,18 +263,28 @@ class Generator:
             tokens = tokens.at[:, :, i].set(new_tok)
             finished = jnp.take_along_axis(finished, beam_src, axis=1)
             lengths = jnp.take_along_axis(lengths, beam_src, axis=1)
-            lengths = jnp.where(finished, lengths, lengths + 1)
+            # EOS emitted this step terminates the hypothesis and is NOT
+            # counted in its length (HF BeamHypotheses.add semantics)
+            lengths = jnp.where(
+                finished | (new_tok == cfg.eos_token_id), lengths, lengths + 1
+            )
             finished = finished | (new_tok == cfg.eos_token_id)
 
             flat_src = (jnp.arange(b)[:, None] * k + beam_src).reshape(b * k)
             cache = reorder_cache(cache, flat_src)
-            return tokens, new_scores, finished, lengths, cache
+            token_counts = token_counts[flat_src]
+            token_counts = token_counts.at[jnp.arange(b * k), new_tok.reshape(-1)].add(1)
+            return tokens, new_scores, finished, lengths, token_counts, cache
 
-        tokens, scores, finished, lengths, cache = jax.lax.fori_loop(
-            1, max_new, step_fn, (tokens, scores, finished, lengths, cache)
+        tokens, scores, finished, lengths, token_counts, cache = jax.lax.fori_loop(
+            1, max_new, step_fn,
+            (tokens, scores, finished, lengths, token_counts, cache),
         )
-        # length penalty (HF semantics: score / len**penalty)
-        norm = scores / jnp.power(lengths.astype(jnp.float32), cfg.length_penalty)
+        # length penalty, HF semantics: score / (full hypothesis length **
+        # penalty) where the hypothesis INCLUDES the prompt (decoder-only
+        # beam_search normalizes by input_ids length) and excludes the EOS
+        full_len = (prompt_len[:, None] + lengths).astype(jnp.float32)
+        norm = scores / jnp.power(full_len, cfg.length_penalty)
         best = jnp.argmax(norm, axis=1)  # (B,)
         return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
 
@@ -266,7 +299,7 @@ class Generator:
     ) -> np.ndarray:
         """Returns generated token ids (B, max_new), pad-filled after EOS."""
         cfg = self.cfg
-        max_new = max_new_tokens or cfg.max_new_tokens
+        max_new = cfg.max_new_tokens if max_new_tokens is None else max_new_tokens
         batch = {
             k: v
             for k, v in batch.items()
@@ -282,6 +315,15 @@ class Generator:
         if cfg.num_beams > 1 and not cfg.do_sample:
             out = self._beam_jit(params, batch, max_new=max_new, num_beams=cfg.num_beams)
         else:
+            if cfg.num_beams > 1 and not getattr(self, "_warned_beam_sample", False):
+                import logging
+
+                logging.getLogger("slam_llm_tpu").warning(
+                    "num_beams=%d with do_sample=True: beam-multinomial sampling "
+                    "is not implemented — sampling a SINGLE sequence instead",
+                    cfg.num_beams,
+                )
+                self._warned_beam_sample = True
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             out = self._greedy_jit(params, batch, rng, max_new=max_new)
         return np.asarray(out)

@@ -24,11 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slam_llm_tpu.models.llm import CausalLM, KVCache, LLMConfig
-from slam_llm_tpu.models.projector import (
-    ProjectorConfig,
-    build_projector,
-    post_projector_length,
-)
+from slam_llm_tpu.models.projector import ProjectorConfig, build_projector
 from slam_llm_tpu.models.whisper import PRESETS as WHISPER_PRESETS
 from slam_llm_tpu.models.whisper import WhisperEncoder, WhisperEncoderConfig
 
@@ -282,7 +278,13 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
         "qwen2-7b": LLMConfig.qwen2_7b,
         "tiny-test": LLMConfig.tiny_test,
     }
-    llm_cfg = llm_presets.get(mc.llm_name, LLMConfig.tinyllama_1_1b)()
+    if mc.llm_name not in llm_presets:
+        # a typo must not silently build a 1.1B TinyLlama: the checkpoint
+        # load would fail with opaque shape mismatches far from the cause
+        raise ValueError(
+            f"unknown llm_name {mc.llm_name!r}; presets: {sorted(llm_presets)}"
+        )
+    llm_cfg = llm_presets[mc.llm_name]()
     if tc.use_peft:
         pc = tc.peft_config
         method = getattr(pc, "peft_method", "lora")

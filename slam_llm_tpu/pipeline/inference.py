@@ -38,8 +38,10 @@ def encode_one(wav_path: str, prompt: str, tokenizer, dataset_config, ds_rate=No
         ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
     audio_length = (mel.shape[0] + 1) // 2 // ds_rate
     prompt_ids = tokenizer.encode(PROMPT_TEMPLATE.format(prompt))
+    # pseudo slots stay -1 (speech_dataset inference contract): the model
+    # clamps before embedding and the repetition penalty excludes them
     input_ids = np.concatenate(
-        [np.zeros(audio_length, np.int64), np.asarray(prompt_ids, np.int64)]
+        [np.full(audio_length, -1, np.int64), np.asarray(prompt_ids, np.int64)]
     )
     t = len(input_ids)
     batch = {

@@ -85,6 +85,11 @@ class Trainer:
         name = getattr(self.train_config, "frozen_dtype", "bfloat16")
         if name in (None, "float32", "fp32"):
             return frozen
+        if name not in ("bfloat16", "bf16"):
+            raise ValueError(
+                f"train_config.frozen_dtype={name!r}: expected bfloat16 or "
+                "float32 (fp16 has no TPU advantage and is not supported)"
+            )
         dt = jnp.bfloat16
 
         def cast(x):
@@ -169,7 +174,11 @@ class Trainer:
             metrics = {
                 "loss": loss,
                 "acc": acc,
-                "lr": sched(state["step"]),
+                # under MultiSteps the inner optimizer (and thus the real
+                # schedule) advances once per k micro-steps — log THAT lr
+                "lr": sched(state["step"] // max(
+                    1, getattr(self.train_config, "gradient_accumulation_steps", 1)
+                )),
                 "grad_norm": optax.global_norm(grads),
             }
             return new_state, metrics
