@@ -29,12 +29,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slam_llm_tpu.models.layers import (
-    NEG_INF,
     DenseGeneralLora,
     RMSNorm,
-    apply_rope,
     apply_rope_tables,
-    make_causal_bias,
     mha_attention,
     rope_tables,
 )
@@ -53,6 +50,10 @@ class LLMConfig:
     rms_eps: float = 1e-5
     qkv_bias: bool = False  # qwen2 uses bias on q/k/v
     tied_embeddings: bool = False
+    # lm_head width when it differs from the embedding table (S2S group
+    # decode: embeds cover the full layershifted vocab, the head only text +
+    # ONE audio slot that the GroupDecodeAdapter fans out); None = vocab_size
+    head_size: Optional[int] = None
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     # PEFT (reference utils/config_utils.py:46-65 maps lora /
@@ -196,12 +197,15 @@ class Attention(nn.Module):
                 cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
             )
             new_cache = (cache_k, cache_v)
-            if t > 1 and bias is None:
-                # structured prefill: the fresh k/v ARE the cache prefix
-                # [0, t) just written, and everything past it is masked
-                # anyway — attending them directly keeps tq == tk so the
-                # causal+kv_mask form lowers to the flash kernel instead of
-                # a dense (B, 1, T, max_len) bias through the XLA path
+            if bias is None:
+                # structured prefill (any t, INCLUDING t == 1): the fresh
+                # k/v ARE the cache prefix [0, t) just written, and
+                # everything past it is masked anyway — attending them
+                # directly keeps tq == tk so the causal+kv_mask form lowers
+                # to the flash kernel instead of a dense (B, 1, T, max_len)
+                # bias through the XLA path. (A t==1 full-cache fallback
+                # would broadcast the (B, 1) kv_mask over max_len and
+                # attend every uninitialized slot.)
                 pass
             else:
                 k, v = cache_k, cache_v
@@ -446,9 +450,12 @@ class CausalLM(nn.Module):
         self.final_norm = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="final_norm")
         if not c.tied_embeddings:
             self.lm_head = DenseGeneralLora(
-                features=c.vocab_size, dtype=c.dtype, param_dtype=c.param_dtype,
+                features=c.head_size or c.vocab_size,
+                dtype=c.dtype, param_dtype=c.param_dtype,
                 kernel_axes=("embed", "vocab"), name="lm_head",
             )
+        elif c.head_size:
+            raise ValueError("head_size requires an untied lm_head")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)
@@ -502,6 +509,18 @@ class CausalLM(nn.Module):
         positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """Write the prompt into the cache at offset 0; return last-pos logits."""
+        x, cache = self.prefill_hidden(inputs_embeds, attention_mask, cache, positions)
+        return self._head(x), cache
+
+    def prefill_hidden(
+        self,
+        inputs_embeds: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        cache: KVCache,
+        positions: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """``prefill`` without the head — adapters (S2S TTS) consume these
+        hidden states."""
         if positions is None:
             positions = _positions_from_mask(attention_mask)
         # structured (kv_mask, causal) instead of a dense (B, 1, T, max_len)
@@ -512,8 +531,7 @@ class CausalLM(nn.Module):
         x, cache = self.decoder(
             x, None, positions, cache, jnp.int32(0), kv_mask=attention_mask
         )
-        x = self.final_norm(x)
-        return self._head(x), cache
+        return self.final_norm(x), cache
 
     def decode_step(
         self,
@@ -523,13 +541,25 @@ class CausalLM(nn.Module):
         attention_mask: jnp.ndarray,  # (B, max_len) — valid cache slots incl. this one
         positions: jnp.ndarray,  # (B, 1)
     ) -> Tuple[jnp.ndarray, KVCache]:
+        x, cache = self.decode_step_hidden(
+            token_embeds, cache, cache_index, attention_mask, positions
+        )
+        return self._head(x), cache
+
+    def decode_step_hidden(
+        self,
+        token_embeds: jnp.ndarray,
+        cache: KVCache,
+        cache_index: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        positions: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, KVCache]:
         from slam_llm_tpu.models.layers import make_padding_bias
 
         bias = make_padding_bias(attention_mask, q_len=1)
         x = token_embeds.astype(self.cfg.dtype)
         x, cache = self.decoder(x, bias, positions, cache, cache_index)
-        x = self.final_norm(x)
-        return self._head(x), cache
+        return self.final_norm(x), cache
 
 
 def _positions_from_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:

@@ -190,8 +190,14 @@ class S2SModel(nn.Module):
             if c.group_decode
             else v.total_vocabsize
         )
-        # embeddings always cover the full (layershifted) vocab
-        llm_cfg = dataclasses.replace(c.llm, vocab_size=max(v.total_vocabsize, head_vocab))
+        # embeddings always cover the full (layershifted) vocab; with group
+        # decode the HEAD shrinks to text + one slot (head_size), saving
+        # (code_layer-1) * padded_audio logit columns per token
+        llm_cfg = dataclasses.replace(
+            c.llm,
+            vocab_size=v.total_vocabsize,
+            head_size=head_vocab if head_vocab < v.total_vocabsize else None,
+        )
         self.llm = CausalLM(llm_cfg, name="llm")
         if c.group_decode:
             self.group_decode_adapter = GroupDecodeAdapter(
@@ -209,8 +215,12 @@ class S2SModel(nn.Module):
             from slam_llm_tpu.models.llm import DecoderLayer
 
             adapter_cfg = dataclasses.replace(
-                llm_cfg, n_layers=c.tts_adapter_layers, lora_rank=0, remat=False
+                llm_cfg, n_layers=c.tts_adapter_layers, lora_rank=0, remat=False,
+                # the adapter is plain transformer blocks (reference litgpt
+                # GPT, tts_adapter_utils.py:15-28) — no PEFT leaks into it
+                peft_method="none",
             )
+            self._adapter_cfg = adapter_cfg
             self.tts_adapter_blocks = [
                 DecoderLayer(adapter_cfg, name=f"tts_adapter_{i}")
                 for i in range(c.tts_adapter_layers)
@@ -318,13 +328,18 @@ class S2SModel(nn.Module):
         audio_labels = labels[:, : v.code_layer]
 
         def ce(lg, lb):
+            # logsumexp + gather, NOT log_softmax: materializing the (B, T, V)
+            # log-prob tensor costs ~1.4 GB fp32 for the text head at
+            # flagship shapes (same rationale as slam_model.py:84-86)
             mask = (lb[:, 1:] != IGNORE_INDEX).astype(jnp.float32)
             safe = jnp.maximum(lb[:, 1:], 0)
-            logp = jax.nn.log_softmax(lg[:, :-1], axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            lg = lg[:, :-1].astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(lg, axis=-1)
+            gold = jnp.take_along_axis(lg, safe[..., None], axis=-1)[..., 0]
+            nll = lse - gold
             loss = (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
             acc = (
-                ((jnp.argmax(lg[:, :-1], -1) == safe).astype(jnp.float32) * mask).sum()
+                ((jnp.argmax(lg, -1) == safe).astype(jnp.float32) * mask).sum()
                 / jnp.maximum(mask.sum(), 1.0)
             )
             return loss, acc
@@ -368,6 +383,69 @@ class S2SModel(nn.Module):
             embeds[:, None, :], cache, cache_index, attention_mask, positions
         )
 
+    # ---- TTS-adapter decode: audio logits come from the adapter stack ------
+
+    def _adapter_audio_logits(self, ha) -> jnp.ndarray:
+        v = self.cfg.vocab
+        flat = self.tts_adapter_head(self.tts_adapter_ln(ha)).astype(jnp.float32)
+        return jnp.stack(
+            [
+                flat[..., i * v.padded_audio_vocabsize : (i + 1) * v.padded_audio_vocabsize]
+                for i in range(v.code_layer)
+            ],
+            axis=0,
+        )
+
+    def prefill_tts(self, batch, cache, adapter_cache):
+        """Prefill trunk AND adapter caches; returns per-position
+        (text_logits (B,T,Vt), audio_logits (L,B,T,Va), caches). Training
+        routes audio CE through the adapter head (``__call__``); decoding
+        from the base head would read untrained audio rows."""
+        from slam_llm_tpu.models.llm import _positions_from_mask
+
+        v = self.cfg.vocab
+        embeds, attention_mask = self.forward_embeds(batch)
+        h, cache = self.llm.prefill_hidden(embeds, attention_mask, cache)
+        xt = self.llm._head(h)[..., : v.padded_text_vocabsize]
+        pos = _positions_from_mask(attention_mask)
+        ha = h
+        nk, nv = [], []
+        for i, blk in enumerate(self.tts_adapter_blocks):
+            ha, (k_i, v_i) = blk(
+                ha, None, pos, adapter_cache["k"][i], adapter_cache["v"][i],
+                jnp.int32(0), kv_mask=attention_mask,
+            )
+            nk.append(k_i)
+            nv.append(v_i)
+        xa = self._adapter_audio_logits(ha)
+        return xt, xa, cache, {"k": jnp.stack(nk), "v": jnp.stack(nv)}
+
+    def decode_step_tts(
+        self, stream_tokens, cache, adapter_cache, cache_index, attention_mask, positions
+    ):
+        """One step through trunk + adapter; returns (xt (B,1,Vt),
+        xa (L,B,1,Va), caches)."""
+        from slam_llm_tpu.models.layers import make_padding_bias
+
+        v = self.cfg.vocab
+        embeds = jnp.mean(self.llm.embed(jnp.maximum(stream_tokens, 0)), axis=1)
+        h, cache = self.llm.decode_step_hidden(
+            embeds[:, None, :], cache, cache_index, attention_mask, positions
+        )
+        xt = self.llm._head(h)[..., : v.padded_text_vocabsize]
+        bias = make_padding_bias(attention_mask, q_len=1)
+        ha = h
+        nk, nv = [], []
+        for i, blk in enumerate(self.tts_adapter_blocks):
+            ha, (k_i, v_i) = blk(
+                ha, bias, positions, adapter_cache["k"][i], adapter_cache["v"][i],
+                cache_index,
+            )
+            nk.append(k_i)
+            nv.append(v_i)
+        xa = self._adapter_audio_logits(ha)
+        return xt, xa, cache, {"k": jnp.stack(nk), "v": jnp.stack(nv)}
+
 
 # ---------------------------------------------------------------------------
 # Jitted parallel generation
@@ -392,6 +470,10 @@ class S2SGenerator:
         self.num_latency_tokens = num_latency_tokens
         self.decode_text_only = decode_text_only
         self._jit = jax.jit(self._generate, static_argnames=("max_new",))
+        # streaming reuses these; building fresh jax.jit wrappers per call
+        # would retrace + recompile the prefill/chunk graphs per utterance
+        self._init_jit = jax.jit(self._init_state, static_argnames=("max_new",))
+        self._chunk_jit = jax.jit(self._run_until, static_argnames=("max_new",))
 
     def _penalize(self, logits, counts, penalty):
         if penalty == 1.0:
@@ -404,7 +486,9 @@ class S2SGenerator:
         if self.do_sample:
             lg = logits / jnp.maximum(self.temperature, 1e-6)
             if self.top_k > 0:
-                kth = jnp.sort(lg, axis=-1)[..., -self.top_k][..., None]
+                # lax.top_k is O(V); a full sort in the decode hot loop
+                # would be O(V log V) per stream per step
+                kth = jax.lax.top_k(lg, self.top_k)[0][..., -1:]
                 lg = jnp.where(lg < kth, -1e9, lg)
             return jax.random.categorical(rng, lg, axis=-1)
         return jnp.argmax(logits, axis=-1)
@@ -419,17 +503,31 @@ class S2SGenerator:
         max_len = t + max_new
         llm_cfg = dataclasses.replace(model.cfg.llm, vocab_size=v.total_vocabsize)
         cache = init_kv_cache(llm_cfg, b, max_len)
-        logits, cache = model.apply(params, batch, cache, method="prefill")
         # last VALID position, padding-side-agnostic (collator left-pads)
         from slam_llm_tpu.inference.generate import _last_valid_index
 
         last_idx = _last_valid_index(batch["attention_mask"])
-        next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+
+        if model.cfg.tts_adapter:
+            a_cfg = dataclasses.replace(llm_cfg, n_layers=model.cfg.tts_adapter_layers)
+            a_cache = init_kv_cache(a_cfg, b, max_len)
+            xt_all, xa_all, cache, a_cache = model.apply(
+                params, batch, cache, a_cache, method="prefill_tts"
+            )
+            next_xt = jnp.take_along_axis(xt_all, last_idx[:, None, None], axis=1)[:, 0]
+            next_xa = jnp.take_along_axis(
+                xa_all, last_idx[None, :, None, None], axis=2
+            )[:, :, 0]
+        else:
+            a_cache = None
+            logits, cache = model.apply(params, batch, cache, method="prefill")
+            next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+            next_xt, next_xa = model.apply(params, next_logits, method="split_logits")
 
         out_tokens = jnp.full((b, L + 1, max_new), v.pad_a, jnp.int32)
         out_tokens = out_tokens.at[:, L, :].set(v.pad_t)
         return (
-            0, next_logits, cache, out_tokens,
+            0, next_xt, next_xa, cache, a_cache, out_tokens,
             jnp.zeros((b,), bool), jnp.zeros((b,), bool),
             jnp.zeros((b, v.padded_text_vocabsize), jnp.int32),
             jnp.zeros((b, L, v.padded_audio_vocabsize), jnp.int32),
@@ -448,25 +546,29 @@ class S2SGenerator:
 
         def cond(state):
             i = state[0]
-            text_end, audio_end = state[4], state[5]
+            text_end, audio_end = state[6], state[7]
             return (i < limit) & ~jnp.all(text_end & audio_end)
 
         def body(state):
-            (i, next_logits, cache, out_tokens, text_end, audio_end,
+            (i, xt_in, xa_in, cache, a_cache, out_tokens, text_end, audio_end,
              text_counts, audio_counts, rng) = state
             rng, r_t, r_a = jax.random.split(rng, 3)
 
-            xt, xa = model.apply(params, next_logits, method="split_logits")
-            xt = self._penalize(xt, text_counts, self.text_rp)
+            was_text_end = text_end
+            xt = self._penalize(xt_in, text_counts, self.text_rp)
             tok_t = self._pick(xt, r_t).astype(jnp.int32)
             tok_t = jnp.where(text_end, v.pad_t, tok_t)
 
+            # a step actually SAMPLES audio unless ended/latency/text-only —
+            # forced pads must not enter the repetition-penalty counts
+            sampled_a = ~(
+                audio_end | (i < self.num_latency_tokens) | self.decode_text_only
+            )
             toks_a = []
             for l in range(L):
-                lg = self._penalize(xa[l], audio_counts[:, l], self.audio_rp)
+                lg = self._penalize(xa_in[l], audio_counts[:, l], self.audio_rp)
                 tk = self._pick(lg, jax.random.fold_in(r_a, l)).astype(jnp.int32)
-                skip = audio_end | (i < self.num_latency_tokens) | self.decode_text_only
-                toks_a.append(jnp.where(skip, v.pad_a, tk))
+                toks_a.append(jnp.where(sampled_a, tk, v.pad_a))
             tok_a = jnp.stack(toks_a, axis=1)  # (B, L)
 
             text_end = text_end | (tok_t == v.eot)
@@ -476,9 +578,13 @@ class S2SGenerator:
             out_tokens = jax.lax.dynamic_update_slice(
                 out_tokens, tok_a[:, :, None], (0, 0, i)
             )
-            text_counts = text_counts.at[jnp.arange(b), tok_t].add(1)
+            text_counts = text_counts.at[jnp.arange(b), tok_t].add(
+                (~was_text_end).astype(jnp.int32)
+            )
             for l in range(L):
-                audio_counts = audio_counts.at[jnp.arange(b), l, tok_a[:, l]].add(1)
+                audio_counts = audio_counts.at[jnp.arange(b), l, tok_a[:, l]].add(
+                    sampled_a.astype(jnp.int32)
+                )
 
             # next-step embedding: layershifted audio + text streams
             shifted = jnp.stack(
@@ -493,19 +599,29 @@ class S2SGenerator:
                 batch["attention_mask"].astype(bool), ((0, 0), (0, max_len - t))
             )
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
-            logits, cache = model.apply(
-                params, shifted, cache, jnp.int32(cache_index), step_mask, pos,
-                method="decode_step",
-            )
-            return (i + 1, logits[:, 0], cache, out_tokens, text_end, audio_end,
-                    text_counts, audio_counts, rng)
+            if model.cfg.tts_adapter:
+                xt_n, xa_n, cache, a_cache = model.apply(
+                    params, shifted, cache, a_cache, jnp.int32(cache_index),
+                    step_mask, pos, method="decode_step_tts",
+                )
+                next_xt, next_xa = xt_n[:, 0], xa_n[:, :, 0]
+            else:
+                logits, cache = model.apply(
+                    params, shifted, cache, jnp.int32(cache_index), step_mask, pos,
+                    method="decode_step",
+                )
+                next_xt, next_xa = model.apply(
+                    params, logits[:, 0], method="split_logits"
+                )
+            return (i + 1, next_xt, next_xa, cache, a_cache, out_tokens,
+                    text_end, audio_end, text_counts, audio_counts, rng)
 
         return jax.lax.while_loop(cond, body, state)
 
     def _generate(self, params, batch, rng, max_new: int):
         state = self._init_state(params, batch, rng, max_new)
         state = self._run_until(params, state, batch, max_new, max_new)
-        return state[3]  # (B, L+1, max_new)
+        return state[5]  # out_tokens (B, L+1, max_new)
 
     def generate(self, params, batch, rng=None, max_new_tokens=None) -> np.ndarray:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -534,17 +650,15 @@ class S2SGenerator:
             k: x for k, x in batch.items()
             if k in ("input_ids", "attention_mask", "modality_mask", "audio_mel", "audio_mel_mask")
         }
-        init = jax.jit(self._init_state, static_argnames=("max_new",))
-        chunk = jax.jit(self._run_until, static_argnames=("max_new",))
-        state = init(params, batch, rng, max_new=max_new)
+        state = self._init_jit(params, batch, rng, max_new=max_new)
         start = 0
         frames_done = 0
         while start < max_new:
             n = min(stream_stride, max_new - start)
-            state = chunk(params, state, batch, jnp.int32(start + n), max_new=max_new)
-            out = np.asarray(state[3])
+            state = self._chunk_jit(params, state, batch, jnp.int32(start + n), max_new=max_new)
+            out = np.asarray(state[5])
             steps = start + n
-            text_end, audio_end = np.asarray(state[4]), np.asarray(state[5])
+            text_end, audio_end = np.asarray(state[6]), np.asarray(state[7])
             done = bool(np.all(text_end & audio_end))
             payload = {
                 "audio_tokens": out[:, :L, start:steps],
@@ -555,10 +669,10 @@ class S2SGenerator:
                 # layer j's token for frame f sits at step f + j + 1, so a
                 # chunk-local un-stagger would drop 7 frames per boundary
                 # (the reference's get_snac indexes the full history too,
-                # snac_utils.py:38-46)
-                streams = out[0, :L, :steps]
-                if done:
-                    streams = np.stack(trim_generated(out[0, :, :steps], v)[:L])
+                # snac_utils.py:38-46). ALWAYS trim at audio-EOS: between
+                # audio ending and text finishing, the tail is pad_a/eoa
+                # tokens that would be vocoded into garbage chunks
+                streams = np.stack(trim_generated(out[0, :, :steps], v)[:L])
                 avail = codec_decoder.num_frames(streams)
                 try:
                     payload["audio"] = codec_decoder.decode_window(

@@ -125,3 +125,63 @@ def test_partial_embed_grad_mask():
     assert (head[:, :start] == 0).all() and (head[:, start:end] == 1).all()
     assert (emb[:start] == 0).all() and (emb[start:end] == 1).all()
     assert (np.asarray(out["llm"]["other"]["kernel"]) == 1).all()
+
+
+def test_tts_adapter_generation_uses_adapter_head():
+    """Decode parity for tts_adapter models: the generator's first tokens
+    must come from the SAME heads the training forward optimizes (text: base
+    head; audio: adapter head) — before this path existed, generation sliced
+    the base head's untrained audio rows and produced garbage speech."""
+    from slam_llm_tpu.models.s2s import S2SGenerator
+
+    cfg = _cfg(tts_adapter=True, tts_adapter_layers=2)
+    model = S2SModel(cfg)
+    v = cfg.vocab
+    batch = _batch(v, b=2, t=10)
+    params = model.init(jax.random.PRNGKey(0), batch, method="init_all")
+
+    gen = S2SGenerator(model, max_new_tokens=4)
+    gen_batch = {k: batch[k] for k in ("input_ids", "attention_mask", "modality_mask")}
+    out = gen.generate(params, gen_batch)  # (B, L+1, 4)
+    assert out.shape == (2, v.code_layer + 1, 4)
+
+    # manual reference: training forward's logits at the last prompt position
+    fwd = model.apply(params, batch)
+    xt_ref = np.asarray(fwd["logits"][:, -1, : v.padded_text_vocabsize])
+    # adapter audio logits at the last position, recomputed via prefill_tts
+    from slam_llm_tpu.models.llm import init_kv_cache
+    import dataclasses as dc
+
+    llm_cfg = dc.replace(cfg.llm, vocab_size=v.total_vocabsize)
+    cache = init_kv_cache(llm_cfg, 2, 14)
+    a_cache = init_kv_cache(dc.replace(llm_cfg, n_layers=2), 2, 14)
+    xt, xa, _, _ = model.apply(params, gen_batch, cache, a_cache, method="prefill_tts")
+    np.testing.assert_allclose(np.asarray(xt[:, -1]), xt_ref, rtol=2e-4, atol=2e-4)
+
+    # the greedy pick must be argmax of the ADAPTER logits up to jit-vs-eager
+    # numeric noise (a random-init model has near-ties exact id equality
+    # would flake on)
+    xt_np = np.asarray(xt[:, -1])  # (B, Vt)
+    xa_np = np.asarray(xa[:, :, -1])  # (L, B, Va)
+    for b in range(2):
+        t_tok = out[b, v.code_layer, 0]
+        assert xt_np[b, t_tok] >= xt_np[b].max() - 1e-3
+        for l in range(v.code_layer):
+            a_tok = out[b, l, 0]
+            assert xa_np[l, b, a_tok] >= xa_np[l, b].max() - 1e-3, (b, l)
+
+
+def test_group_decode_head_is_narrow():
+    """group_decode shrinks the lm_head to text + ONE audio slot; the full
+    head would waste (code_layer-1)*padded_audio logit columns per token."""
+    cfg = _cfg(group_decode=True)
+    model = S2SModel(cfg)
+    v = cfg.vocab
+    batch = _batch(v)
+    params = model.init(jax.random.PRNGKey(0), batch, method="init_all")
+    from flax import linen as nn
+
+    kernel = nn.meta.unbox(params["params"])["llm"]["lm_head"]["kernel"]
+    assert kernel.shape[-1] == v.padded_text_vocabsize + v.padded_audio_vocabsize
+    out = model.apply(params, batch)
+    assert np.isfinite(float(out["loss"]))
