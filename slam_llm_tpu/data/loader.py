@@ -75,7 +75,14 @@ class DistributedLengthBasedBatchSampler:
         self.base.set_epoch(epoch)
 
     def __iter__(self):
+        # every rank MUST yield the same batch count: in SPMD training an
+        # extra step on one rank enters collectives alone and hangs the job
+        # (the reference needs Join/monitored_barrier for this; we drop the
+        # ragged tail instead — SURVEY.md §5.3 "fixed steps by construction")
+        limit = len(self.base) - len(self.base) % self.num_replicas
         for i, batch in enumerate(self.base):
+            if i >= limit:
+                break
             if i % self.num_replicas == self.rank:
                 yield batch
 
@@ -114,6 +121,15 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put_best_effort(item):
+            # never block forever on a full queue with a gone consumer
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    pass
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -141,11 +157,15 @@ class PrefetchLoader:
                             return
                         batch = pending.pop(0).result()
                         submit_next()
-                        q.put(batch)
+                        # bounded put that keeps watching stop: a consumer
+                        # that abandons the iterator (e.g. next(iter(l)))
+                        # would otherwise leave this thread blocked forever,
+                        # leaking the pool + buffered batches per iterator
+                        _put_best_effort(batch)
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put_best_effort(e)
             finally:
-                q.put(self._END)
+                _put_best_effort(self._END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -461,6 +461,14 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, interpret,
     block_q, block_k, tq_pad, tk_pad, wide = _wide_blocks(
         tq, tk, h, hkv, d, q.dtype, block_q, block_k
     )
+    if rope_cos is not None and not wide:
+        # narrow fallback (huge-T shapes) is rope-free, like the backward:
+        # its in-kernel rotation would broadcast a (BQ, 1, D) table against
+        # (BQ, G, D) tiles — an unsupported Mosaic shape cast for 16-bit
+        # lanes (see _rope_operands) — so rotate in XLA instead
+        q = _xla_rope(q, rope_cos, rope_sin)
+        k = _xla_rope(k, rope_cos, rope_sin)
+        rope_cos = rope_sin = None
     kr, vr, maskr, block_k, tk_pad = _prep_kv(k, v, kv_mask, block_k)
     qp = _pad_q(q, tq_pad)
     fused_rope = rope_cos is not None

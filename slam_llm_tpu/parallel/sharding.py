@@ -97,7 +97,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Shard a host batch dict along the batch axis over (dp, fsdp)."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    # one batched transfer for the whole pytree, not one dispatch per leaf
+    return jax.device_put(batch, s)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -56,19 +56,25 @@ def restore_state(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
 
 def _to_savable(state):
     """Orbax rejects None leaves and zero-size arrays: use a 1-byte sentinel."""
-    return jax.tree_util.tree_map(
-        lambda x: np.zeros((1,), np.int8) if x is None else x,
-        state,
-        is_leaf=lambda x: x is None,
-    )
+
+    def conv(x):
+        if x is None or (hasattr(x, "size") and x.size == 0):
+            return np.zeros((1,), np.int8)
+        return x
+
+    return jax.tree_util.tree_map(conv, state, is_leaf=lambda x: x is None)
 
 
 def _from_savable(restored, template):
+    def back(t, r):
+        if t is None:
+            return None
+        if hasattr(t, "size") and t.size == 0:
+            return t  # zero-size leaf was a save-side sentinel
+        return r
+
     return jax.tree_util.tree_map(
-        lambda t, r: None if t is None else r,
-        template,
-        restored,
-        is_leaf=lambda x: x is None,
+        back, template, restored, is_leaf=lambda x: x is None
     )
 
 
@@ -132,11 +138,22 @@ def _prune_nones(tree):
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    """Most recent ``*_epoch_*_step_*`` dir under output_dir (resume helper)."""
+    """Highest ``*_epoch_{e}_step_{s}`` dir under output_dir (resume helper).
+
+    Ordered by the (epoch, step) embedded in the name, NOT mtime: best-val
+    checkpointing can legitimately write an older-epoch dir later, and
+    copies/rsyncs scramble mtimes."""
+    import re
+
     root = Path(output_dir)
     if not root.exists():
         return None
-    candidates = [p for p in root.iterdir() if "_epoch_" in p.name]
+
+    def key(p: Path):
+        m = re.search(r"_epoch_(\d+)_step_(\d+)", p.name)
+        return (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
+
+    candidates = [p for p in root.iterdir() if p.is_dir() and key(p) != (-1, -1)]
     if not candidates:
         return None
-    return str(max(candidates, key=lambda p: p.stat().st_mtime))
+    return str(max(candidates, key=key))
