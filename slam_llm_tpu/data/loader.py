@@ -66,28 +66,48 @@ class DistributedLengthBasedBatchSampler:
     """Rank-strided view over LengthBasedBatchSampler batches
     (reference data/sampler.py:42-57 islice semantics)."""
 
-    def __init__(self, lengths, batch_size, num_replicas: int, rank: int, **kw):
+    def __init__(self, lengths, batch_size, num_replicas: int, rank: int,
+                 ragged_tail: str = "drop", **kw):
         self.base = LengthBasedBatchSampler(lengths, batch_size, **kw)
         self.num_replicas = num_replicas
         self.rank = rank
+        if ragged_tail not in ("drop", "wrap"):
+            raise ValueError(f"ragged_tail={ragged_tail!r}: expected drop|wrap")
+        self.ragged_tail = ragged_tail
 
     def set_epoch(self, epoch: int) -> None:
         self.base.set_epoch(epoch)
 
     def __iter__(self):
-        # every rank MUST yield the same batch count: in SPMD training an
-        # extra step on one rank enters collectives alone and hangs the job
-        # (the reference needs Join/monitored_barrier for this; we drop the
-        # ragged tail instead — SURVEY.md §5.3 "fixed steps by construction")
-        limit = len(self.base) - len(self.base) % self.num_replicas
-        for i, batch in enumerate(self.base):
-            if i >= limit:
-                break
-            if i % self.num_replicas == self.rank:
-                yield batch
+        # every rank MUST yield the same batch count: in SPMD an extra step
+        # on one rank enters collectives alone and hangs the job (the
+        # reference needs Join/monitored_barrier for this; we keep steps
+        # equal by construction — SURVEY.md §5.3). "drop" discards the
+        # ragged tail (training: the sample loss is negligible); "wrap"
+        # re-decodes early batches so EVERY batch is covered (decode: a
+        # dropped tail would silently score an incomplete test set;
+        # duplicate keys collapse in the kaldi-style scoring dicts).
+        n = len(self.base)
+        if n == 0:
+            return
+        if self.ragged_tail == "drop":
+            limit = n - n % self.num_replicas
+            for i, batch in enumerate(self.base):
+                if i >= limit:
+                    break
+                if i % self.num_replicas == self.rank:
+                    yield batch
+        else:
+            batches = list(self.base)
+            total = -(-n // self.num_replicas) * self.num_replicas
+            for i in range(self.rank, total, self.num_replicas):
+                yield batches[i % n]
 
     def __len__(self):
-        return len(self.base) // self.num_replicas
+        n = len(self.base)
+        if self.ragged_tail == "wrap":
+            return -(-n // self.num_replicas) if n else 0
+        return n // self.num_replicas
 
 
 class PrefetchLoader:
@@ -191,11 +211,13 @@ def build_dataloader(
     num_replicas: int = 1,
     rank: int = 0,
     seed: int = 0,
+    ragged_tail: str = "drop",  # "wrap" for decode: cover every batch
 ) -> PrefetchLoader:
     lengths = [dataset.sort_key(i) for i in range(len(dataset))]
     if num_replicas > 1:
         sampler = DistributedLengthBasedBatchSampler(
             lengths, batch_size, num_replicas, rank,
+            ragged_tail=ragged_tail,
             drop_last=drop_last, shuffle=shuffle, seed=seed,
         )
     else:

@@ -227,7 +227,15 @@ class S2SDatasetJsonl:
 
     def sort_key(self, index: int) -> int:
         item = self.data_list[index]
-        return len(str(item.get("target_text", ""))) + len(item.get("target_token", []) or [])
+        tok = item.get("target_token") or []
+        if tok and isinstance(tok[0], (list, tuple)):
+            # SNAC manifests: list of code_layer per-layer streams — the
+            # batching length proxy is the STREAM length, not the constant
+            # number of layers
+            tok_len = max(len(t) for t in tok)
+        else:
+            tok_len = len(tok)
+        return len(str(item.get("target_text", ""))) + tok_len
 
     # ---- collation ---------------------------------------------------------
 

@@ -68,6 +68,9 @@ class SpeechDatasetJsonl:
         )
         self.specaug = bool(getattr(dataset_config, "specaug", False)) and split == "train"
         self._specaug_rng = np.random.default_rng(1234)
+        import threading
+
+        self._specaug_lock = threading.Lock()
 
         path = (
             dataset_config.train_data_path if split == "train" else dataset_config.val_data_path
@@ -89,6 +92,9 @@ class SpeechDatasetJsonl:
         key = item.get("key")
 
         audio_raw = audio_ops.load_audio(audio_path)
+        # true duration BEFORE pad_or_trim (RTF accounting; the 30 s-padded
+        # mel mask would overstate audio seconds ~4x on short utterances)
+        audio_seconds = len(audio_raw) / audio_ops.SAMPLE_RATE
         audio_mel = None
         if self.input_type == "raw":
             if self.normalize:
@@ -103,7 +109,12 @@ class SpeechDatasetJsonl:
             if self.specaug:
                 from slam_llm_tpu.ops.specaug import spec_augment
 
-                audio_mel = spec_augment(audio_mel, rng=self._specaug_rng)
+                # np.random.Generator is NOT thread-safe and PrefetchLoader
+                # collates from a thread pool: draw a child seed under a
+                # lock, augment with a private generator
+                with self._specaug_lock:
+                    child = int(self._specaug_rng.integers(2**63))
+                audio_mel = spec_augment(audio_mel, rng=np.random.default_rng(child))
             # (T+1)//2 whisper conv downsample, then //5 projector stack
             # (reference speech_dataset.py:104-105)
             audio_length = (audio_mel.shape[0] + 1) // 2 // 5
@@ -137,6 +148,7 @@ class SpeechDatasetJsonl:
                 "audio": audio_raw if self.input_type == "raw" else None,
                 "audio_mel": audio_mel,
                 "audio_length": audio_length,
+                "audio_seconds": audio_seconds,
                 "prompt_length": prompt_length,
                 "key": key,
                 "target": target,
@@ -156,6 +168,7 @@ class SpeechDatasetJsonl:
             "audio": audio_raw if self.input_type == "raw" else None,
             "audio_mel": audio_mel,
             "audio_length": audio_length,
+            "audio_seconds": audio_seconds,
             "prompt_length": prompt_length,
             "key": key,
             "target": target,
@@ -176,7 +189,6 @@ class SpeechDatasetJsonl:
         max_prompt = max(prompt_lens)
         max_answer = max(answer_lens)
         total = bucketize(max_prompt + max_answer, text_buckets)
-        pad_answer_to = total - max_prompt  # answers right-pad to fill bucket
 
         b = len(samples)
         input_ids = np.full((b, total), pad_id, dtype=np.int64)
@@ -203,6 +215,10 @@ class SpeechDatasetJsonl:
         else:
             out["keys"] = [s["key"] for s in samples]
             out["targets"] = [s["target"] for s in samples]
+        if any("audio_seconds" in s for s in samples):
+            out["audio_seconds"] = float(
+                sum(s.get("audio_seconds", 0.0) for s in samples)
+            )
         return out
 
     def collator(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:

@@ -47,6 +47,9 @@ def main(cfg: RunConfig):
         dataset, cfg.train_config.val_batch_size, shuffle=False, drop_last=False,
         num_workers=cfg.dataset_config.num_workers, prefetch=cfg.dataset_config.prefetch,
         num_replicas=n_proc, rank=rank,
+        # wrap (not drop) the ragged tail: every test batch must be decoded
+        # by SOME rank; the duplicates collapse by key in the scoring dicts
+        ragged_tail="wrap",
     )
     example = next(iter(loader))
     params, _ = materialize_params(model, cfg, mesh, example)
@@ -74,11 +77,14 @@ def main(cfg: RunConfig):
     with open(pred_path, "w", encoding="utf-8") as f_pred, open(
         gt_path, "w", encoding="utf-8"
     ) as f_gt, mesh:
-        for batch in loader:
+        base_rng = jax.random.PRNGKey(cfg.train_config.seed)
+        for bi, batch in enumerate(loader):
             t0 = time.perf_counter()
+            # per-batch rng: reusing one key would give every batch the
+            # identical sampling stream under do_sample
             tokens = generator.generate({"params": params}, {
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-            })
+            }, rng=jax.random.fold_in(base_rng, bi + rank * 100003))
             tokens = strip_after_eos(tokens, gen_cfg.eos_token_id, gen_cfg.pad_token_id)
             t_total += time.perf_counter() - t0
             for key, target, row in zip(batch["keys"], batch["targets"], tokens):
@@ -86,7 +92,12 @@ def main(cfg: RunConfig):
                 f_pred.write(f"{key}\t{text}\n")
                 f_gt.write(f"{key}\t{target}\n")
                 n += 1
-            if "audio_mel_mask" in batch:
+            if "audio_seconds" in batch:
+                # true (pre-pad) durations summed by the collator — the mask
+                # fallbacks below count PADDED frames (whisper mel is always
+                # pad_or_trim'ed to 30 s) and overstate audio_s
+                audio_s += float(batch["audio_seconds"])
+            elif "audio_mel_mask" in batch:
                 audio_s += float(batch["audio_mel_mask"].sum()) * 0.01  # 10ms hop
             elif "audio_mask" in batch:
                 audio_s += float(batch["audio_mask"].sum()) / 16000.0

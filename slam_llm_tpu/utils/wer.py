@@ -4,15 +4,14 @@ Functional mirror of the reference's ``utils/compute_wer.py:38-197``: same
 kaldi-style inputs (``key<tab>text`` per line), same aggregate lines
 (``%WER .. [ w / n, i ins, d del, s sub ]``, ``%SER``), same per-utterance
 ref/hyp/diff detail file — so existing eval tooling keeps working. The
-alignment itself is a vectorized numpy Levenshtein (the reference uses a
-python double loop)."""
+alignment is a two-row list DP (in-row delete dependency makes the inner
+loop inherently sequential; plain lists beat per-cell numpy scalar ops
+severalfold)."""
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from typing import Dict, List, Sequence, Tuple
-
-import numpy as np
 
 OK, SUB, INS, DEL = 0, 1, 2, 3
 
@@ -23,31 +22,38 @@ def align(hyp: Sequence[str], ref: Sequence[str]) -> Tuple[Dict[str, int], List[
     hyp = [w.lower() for w in hyp]
     ref = [w.lower() for w in ref]
     lh, lr = len(hyp), len(ref)
-    cost = np.zeros((lh + 1, lr + 1), dtype=np.int32)
-    cost[:, 0] = np.arange(lh + 1)
-    cost[0, :] = np.arange(lr + 1)
-    ops = np.zeros((lh + 1, lr + 1), dtype=np.int8)
-    ops[1:, 0] = INS
-    ops[0, 1:] = DEL
+    ops = [bytearray(lr + 1) for _ in range(lh + 1)]
+    for j in range(1, lr + 1):
+        ops[0][j] = DEL
     for i in range(1, lh + 1):
-        # vectorized row update (still a dependency chain along j for the
-        # delete transition; do it with a scan over j in numpy)
-        prev = cost[i - 1]
-        row = cost[i]
+        ops[i][0] = INS
+    prev = list(range(lr + 1))
+    for i in range(1, lh + 1):
+        cur = [i] + [0] * lr
+        oi = ops[i]
+        hw = hyp[i - 1]
         for j in range(1, lr + 1):
-            match = hyp[i - 1] == ref[j - 1]
+            match = hw == ref[j - 1]
             c_sub = prev[j - 1] + (0 if match else 1)
             c_ins = prev[j] + 1
-            c_del = row[j - 1] + 1
-            best = min(c_sub, c_ins, c_del)
-            row[j] = best
-            ops[i, j] = (OK if match else SUB) if best == c_sub else (INS if best == c_ins else DEL)
+            c_del = cur[j - 1] + 1
+            # tie order: sub/ok, then ins, then del (matches the old form)
+            if c_sub <= c_ins and c_sub <= c_del:
+                cur[j] = c_sub
+                oi[j] = OK if match else SUB
+            elif c_ins <= c_del:
+                cur[j] = c_ins
+                oi[j] = INS
+            else:
+                cur[j] = c_del
+                oi[j] = DEL
+        prev = cur
 
     path = []
     i, j = lh, lr
     counts = {"cor": 0, "sub": 0, "ins": 0, "del": 0}
     while i > 0 or j > 0:
-        op = ops[i, j]
+        op = ops[i][j]
         if i > 0 and j > 0 and op in (OK, SUB):
             path.append((int(op), i - 1, j - 1))
             counts["cor" if op == OK else "sub"] += 1
@@ -114,10 +120,15 @@ def compute_wer_files(ref_file: str, hyp_file: str, detail_file: str = None) -> 
     refs, hyps = read_trn(ref_file), read_trn(hyp_file)
     res = WerResult()
     lines = []
-    for key, hyp in hyps.items():
-        if key not in refs:
+    # score pairs present in BOTH (reference semantics), but report the
+    # misses in both directions — an aborted decode must not silently score
+    # as if the undedcoded half never existed
+    missing_from_hyp = sum(1 for k in refs if k not in hyps)
+    extra_in_hyp = sum(1 for k in hyps if k not in refs)
+    for key, ref in refs.items():
+        if key not in hyps:
             continue
-        ref = refs[key]
+        hyp = hyps[key]
         counts, path = align(hyp, ref)
         wrong = counts["sub"] + counts["ins"] + counts["del"]
         res.words += len(ref)
@@ -146,7 +157,8 @@ def compute_wer_files(ref_file: str, hyp_file: str, detail_file: str = None) -> 
             f.write("\n".join(lines))
             f.write("\n\n" + res.summary() + "\n")
             f.write(
-                f"Scored {len(hyps)} sentences, {len(hyps) - res.sentences} not present in hyp.\n"
+                f"Scored {res.sentences} sentences, {missing_from_hyp} not "
+                f"present in hyp, {extra_in_hyp} hyp keys not in ref.\n"
             )
     return res
 

@@ -100,3 +100,21 @@ def test_latest_checkpoint_orders_by_name_not_mtime(tmp_path):
     (tmp_path / "m_epoch_2_step_20_notes.txt").write_text("not a dir")
     assert latest_checkpoint(str(tmp_path)).endswith("m_epoch_3_step_30")
     assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_distributed_sampler_wrap_covers_all_batches():
+    """Decode mode: equal per-rank counts AND full coverage (duplicates
+    collapse by key in the kaldi-style scoring dicts)."""
+    lengths = list(range(44))  # 11 batches of 4 -> ragged over 4 ranks
+    all_idx, counts = set(), []
+    for rank in range(4):
+        s = DistributedLengthBasedBatchSampler(
+            lengths, batch_size=4, num_replicas=4, rank=rank,
+            ragged_tail="wrap", drop_last=True, shuffle=False, seed=0,
+        )
+        batches = list(s)
+        assert len(batches) == len(s) == 3
+        counts.append(len(batches))
+        all_idx.update(i for b in batches for i in b)
+    assert len(set(counts)) == 1
+    assert all_idx == set(range(44))  # every utterance decoded by some rank
