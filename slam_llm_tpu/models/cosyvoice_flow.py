@@ -175,16 +175,41 @@ def flow_encoder_apply(p: Dict, x: jnp.ndarray, cfg: FlowConfig) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def length_regulator_apply(p: Dict, x: jnp.ndarray, out_len: int, cfg: FlowConfig) -> jnp.ndarray:
-    """(B, T, mel) -> (B, out_len, mel): linear interp + conv/GN/Mish stack
-    + 1x1 out conv (reference length_regulator.py InterpolateRegulator)."""
-    h = _linear_interp(x.transpose(0, 2, 1), out_len)  # (B, C, L)
+def _regulator_stack(p: Dict, h: jnp.ndarray, cfg: FlowConfig) -> jnp.ndarray:
+    """conv/GN/Mish stack + 1x1 out conv on (B, C, L) — the model half of the
+    reference InterpolateRegulator (shared by forward and inference paths)."""
     for i in range(cfg.regulator_convs):
         h = _conv1d(h, p[f"c{i}_w"], p[f"c{i}_b"], padding=1)
         h = _groupnorm(h, p[f"n{i}_s"], p[f"n{i}_b"], groups=1)
         h = _mish(h)
-    h = _conv1d(h, p["out_w"], p["out_b"])
-    return h.transpose(0, 2, 1)
+    return _conv1d(h, p["out_w"], p["out_b"])
+
+
+def length_regulator_apply(p: Dict, x: jnp.ndarray, out_len: int, cfg: FlowConfig) -> jnp.ndarray:
+    """(B, T, mel) -> (B, out_len, mel): linear interp + conv/GN/Mish stack
+    + 1x1 out conv (reference length_regulator.py InterpolateRegulator)."""
+    h = _linear_interp(x.transpose(0, 2, 1), out_len)  # (B, C, L)
+    return _regulator_stack(p, h, cfg).transpose(0, 2, 1)
+
+
+def interp_generated(hseg: jnp.ndarray, mel_len2: int, cfg: FlowConfig) -> jnp.ndarray:
+    """(1, Tg, C) -> (1, C, mel_len2). >40 generated tokens are interpolated
+    head/mid/tail separately (20 tokens -> 34 frames each end) exactly like
+    InterpolateRegulator.inference (reference length_regulator.py:52-63) —
+    one whole-segment interp would put every frame on a different grid than
+    the reference for essentially every real utterance."""
+    ht = hseg.transpose(0, 2, 1)
+    if hseg.shape[1] > 40:
+        edge = int(20 / cfg.input_frame_rate * cfg.mel_sr / cfg.mel_hop)
+        return jnp.concatenate(
+            [
+                _linear_interp(ht[:, :, :20], edge),
+                _linear_interp(ht[:, :, 20:-20], mel_len2 - 2 * edge),
+                _linear_interp(ht[:, :, -20:], edge),
+            ],
+            axis=-1,
+        )
+    return _linear_interp(ht, mel_len2)
 
 
 # ---------------------------------------------------------------------------
@@ -359,22 +384,18 @@ def flow_token2mel(
 
     n_gen = int(tokens.shape[1]) - (prompt_tokens.shape[1] if prompt_tokens is not None and prompt_tokens.size else 0)
     mel_len2 = int(n_gen / cfg.input_frame_rate * cfg.mel_sr / cfg.mel_hop)
+
     # reference interpolates prompt and generated segments separately
     if mel_len1 > 0:
         p_len = prompt_tokens.shape[1]
         h1 = _linear_interp(h[:, :p_len].transpose(0, 2, 1), mel_len1)
-        h2 = _linear_interp(h[:, p_len:].transpose(0, 2, 1), mel_len2)
-        hi = jnp.concatenate([h1, h2], axis=-1).transpose(0, 2, 1)
+        hi = jnp.concatenate(
+            [h1, interp_generated(h[:, p_len:], mel_len2, cfg)], axis=-1
+        )
     else:
-        hi = _linear_interp(h.transpose(0, 2, 1), mel_len2).transpose(0, 2, 1)
+        hi = interp_generated(h, mel_len2, cfg)
     # conv/GN/mish stack of the regulator runs on the interpolated sequence
-    reg = params["regulator"]
-    hh = hi.transpose(0, 2, 1)
-    for i in range(cfg.regulator_convs):
-        hh = _conv1d(hh, reg[f"c{i}_w"], reg[f"c{i}_b"], padding=1)
-        hh = _groupnorm(hh, reg[f"n{i}_s"], reg[f"n{i}_b"], groups=1)
-        hh = _mish(hh)
-    mu = _conv1d(hh, reg["out_w"], reg["out_b"])  # (1, mel, L)
+    mu = _regulator_stack(params["regulator"], hi, cfg)  # (1, mel, L)
 
     L = mel_len1 + mel_len2
     conds = jnp.zeros((1, L, cfg.output_size))

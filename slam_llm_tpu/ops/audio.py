@@ -95,11 +95,16 @@ def load_audio(path: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     """Load any audio file as float32 mono at ``sr`` (whisper.load_audio parity)."""
     p = str(path)
     if Path(p).suffix.lower() == ".wav":
+        import wave
+
         try:
             x, file_sr = _read_wav(p)
+        except FileNotFoundError:
+            raise  # a missing file is not a format problem — don't misblame ffmpeg
+        except (wave.Error, EOFError, ValueError):
+            x = None  # non-PCM / malformed wav -> ffmpeg
+        if x is not None:
             return resample(x, file_sr, sr)
-        except Exception:
-            pass  # non-PCM wav -> ffmpeg
     if Path(p).suffix.lower() in (".npy",):
         return np.load(p).astype(np.float32)
     return _read_via_ffmpeg(p, sr)
@@ -255,14 +260,19 @@ def music_log_mel(audio, sr: int = 24000, n_fft: int = 2048, hop: int = 240,
     power = np.abs(spec) ** 2
     mel = power @ _htk_mel_banks(n_mels, sr, n_fft).T
     db = 10.0 * np.log10(np.maximum(mel, 1e-10))
-    db = np.maximum(db, db.max() - 80.0)  # torchaudio top_db=80
+    # NO top_db floor: torchaudio.transforms.AmplitudeToDB() defaults to
+    # top_db=None and MusicFM's MelSTFT uses that default (reference
+    # modules/features.py:39) — an 80 dB clamp would alter quiet frames
     return db.astype(np.float32)
 
 
 def log_mel_spectrogram_batch(audio_batch, n_mels: int = 80):
-    """Jit-friendly batched variant on jnp: (B, S) -> (B, T, n_mels).
+    """Batched jnp variant: (B, S) -> (B, T, n_mels), per-utterance max
+    (whisper semantics applied per sample).
 
-    Uses a per-utterance max (matching whisper semantics applied per sample).
+    CPU/GPU backends only: it lowers ``jnp.fft.rfft``, which the axon TPU
+    backend does not implement (the same reason the pipelines compute mel on
+    the HOST and hift.py uses DFT matmuls — see tests/conftest + hift.py).
     """
     import jax
     import jax.numpy as jnp

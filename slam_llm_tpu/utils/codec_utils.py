@@ -91,6 +91,15 @@ def snac_streams_to_codebooks(streams: np.ndarray, cfg: SnacConfig = SnacConfig(
     return snac_frame_window(streams, 0, snac_num_frames(streams, cfg), cfg)
 
 
+def _device_params(params):
+    """Upload converted vocoder weights once at load — keeping them as numpy
+    would re-transfer the full flow+HiFT set host->device on EVERY decode
+    (per streaming chunk), dwarfing compute."""
+    import jax
+
+    return jax.tree_util.tree_map(jax.device_put, params)
+
+
 def cosyvoice_group_to_stream(streams: np.ndarray) -> np.ndarray:
     """Grouped parallel streams (L, T) -> flat codec token stream (T*L,)
     (inverse of data/s2s_dataset.group_answer_tokens)."""
@@ -132,7 +141,7 @@ class CodecDecoder:
         cfg = SNACConfig.snac_24khz()
         return CodecDecoder(
             codec_type="snac",
-            snac_params=convert_snac_torch_state(sd, cfg),
+            snac_params=_device_params(convert_snac_torch_state(sd, cfg)),
             snac_cfg=cfg,
             sample_rate=cfg.sampling_rate,
         )
@@ -159,19 +168,27 @@ class CodecDecoder:
         fcfg, hcfg = FlowConfig(), HiFTConfig()
         return CodecDecoder(
             codec_type="cosyvoice",
-            flow_params=convert_cosyvoice_flow_state(fsd, fcfg), flow_cfg=fcfg,
-            hift_params=convert_hift_torch_state(hsd, hcfg), hift_cfg=hcfg,
+            flow_params=_device_params(convert_cosyvoice_flow_state(fsd, fcfg)),
+            flow_cfg=fcfg,
+            hift_params=_device_params(convert_hift_torch_state(hsd, hcfg)),
+            hift_cfg=hcfg,
             sample_rate=hcfg.sampling_rate,
             spk_embedding=spk_embedding,
         )
 
     def _decode_snac_codebooks(self, cbs) -> np.ndarray:
         if self.snac_params is not None:
+            import jax
+
             from slam_llm_tpu.models.snac import snac_decode
 
             cfg = self.snac_cfg
             cbs = [c % cfg.codebook_size for c in cbs]
-            return snac_decode(self.snac_params, cbs, cfg)[0]
+            # the published snac decoder injects NoiseBlock noise
+            # unconditionally (x + linear(x) * randn); a fixed key keeps the
+            # learned stochastic excitation while staying reproducible
+            return snac_decode(self.snac_params, cbs, cfg,
+                               rng=jax.random.PRNGKey(0))[0]
         if self.decode_fn is not None:
             return np.asarray(self.decode_fn(cbs))
         raise RuntimeError(
@@ -206,7 +223,14 @@ class CodecDecoder:
 
             fcfg = self.flow_cfg
             tokens = np.asarray(tokens)
-            tokens = tokens[tokens < fcfg.vocab_size][None]  # strip eoa/pad ids
+            # reference codec_utils.py:84-94: TRUNCATE at the first EOA
+            # (== vocab_size in local audio space), then replace residual
+            # pads in-place with 4095 — deleting them would shift every
+            # later token one slot and desynchronize the frame grouping
+            eoa_pos = np.nonzero(tokens == fcfg.vocab_size)[0]
+            if eoa_pos.size:
+                tokens = tokens[: eoa_pos[0]]
+            tokens = np.where(tokens >= fcfg.vocab_size, fcfg.vocab_size - 1, tokens)[None]
             spk = (
                 self.spk_embedding
                 if self.spk_embedding is not None

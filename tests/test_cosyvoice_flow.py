@@ -407,3 +407,38 @@ def test_cosyvoice_codec_decoder_end_to_end(pair):
     assert wav.ndim == 1 and wav.shape[0] > 0
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() > 0
+
+
+def test_headmidtail_interpolation_parity(pair):
+    """>40 generated tokens: the mu grid must match the reference's
+    head/mid/tail split (length_regulator.py:52-63), not one whole-segment
+    interpolation."""
+    from slam_llm_tpu.models.cosyvoice_flow import (
+        _regulator_stack,
+        flow_encoder_apply,
+        interp_generated,
+    )
+
+    ref, params = pair
+    rng = np.random.default_rng(5)
+    n = 45
+    tokens = rng.integers(0, CFG.vocab_size, (1, n)).astype(np.int64)
+    mel_len2 = int(n / CFG.input_frame_rate * CFG.mel_sr / CFG.mel_hop)
+    edge = int(20 / CFG.input_frame_rate * CFG.mel_sr / CFG.mel_hop)
+    assert mel_len2 > 2 * edge
+
+    with torch.no_grad():
+        tok = ref.input_embedding(torch.from_numpy(tokens))
+        h_t = ref.encoder_proj(ref.encoder(tok)).transpose(1, 2)
+        head = F.interpolate(h_t[:, :, :20], size=edge, mode="linear")
+        mid = F.interpolate(h_t[:, :, 20:-20], size=mel_len2 - 2 * edge, mode="linear")
+        tail = F.interpolate(h_t[:, :, -20:], size=edge, mode="linear")
+        want = ref.length_regulator.model(torch.cat([head, mid, tail], dim=2)).numpy()
+
+    tok_e = params["input_embedding"][jnp.asarray(tokens)]
+    h = flow_encoder_apply(params["encoder"], tok_e, CFG)
+    h = h @ params["enc_proj_w"] + params["enc_proj_b"]
+    hi = interp_generated(h, mel_len2, CFG)
+    got = np.asarray(_regulator_stack(params["regulator"], hi, CFG))
+    assert got.shape == want.shape == (1, CFG.output_size, mel_len2)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
