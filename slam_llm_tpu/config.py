@@ -116,7 +116,10 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 0.0
     optimizer: str = "adamw"  # adamw | anyprecision (bf16 moments + Kahan)
-    gamma: float = 0.85  # per-epoch lr decay (reference LambdaLR semantics)
+    # accepted for config-compat but UNUSED, exactly like the reference: its
+    # StepLR(gamma) line is commented out (finetune.py:252) in favor of the
+    # warmup-linear LambdaLR that lr_schedule mirrors
+    gamma: float = 0.85
     seed: int = 42
     val_batch_size: int = 1
     use_peft: bool = False

@@ -31,7 +31,6 @@ from flax import linen as nn
 from slam_llm_tpu.models.layers import (
     DenseGeneralLora,
     LayerNorm,
-    make_padding_bias,
     mha_attention,
     sinusoidal_positions,
 )

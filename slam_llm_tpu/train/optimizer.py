@@ -125,7 +125,12 @@ def anyprecision_adamw(
 
     def update(grads, state, params):
         count = state["count"] + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedule evaluated at the PRE-increment count, like
+        # optax.scale_by_schedule — the two optimizer choices must see the
+        # identical LR trajectory (the bias correction below wants 1-based)
+        lr = (
+            learning_rate(state["count"]) if callable(learning_rate) else learning_rate
+        )
 
         def upd(g, mu, nu, p, comp):
             if g is None:

@@ -31,6 +31,12 @@ def export_llama(params_llm: Dict[str, Any], llm_cfg, out_dir: str) -> str:
     (out, in)."""
     from safetensors.numpy import save_file
 
+    if getattr(llm_cfg, "head_size", None):
+        raise ValueError(
+            "cannot export a narrow-head model (head_size set, S2S group "
+            "decode) as an HF llama checkpoint: lm_head width would "
+            "contradict config vocab_size"
+        )
     os.makedirs(out_dir, exist_ok=True)
     n = llm_cfg.n_layers
     alpha, rank = llm_cfg.lora_alpha, llm_cfg.lora_rank
@@ -54,11 +60,13 @@ def export_llama(params_llm: Dict[str, Any], llm_cfg, out_dir: str) -> str:
             sd[f"model.layers.{i}.{hf_name}.bias"] = np.asarray(w["bias"], np.float32)
 
     for i in range(n):
+        # f32 like every other tensor: bf16 param_dtype arrays would be
+        # rejected by safetensors.numpy and contradict torch_dtype float32
         sd[f"model.layers.{i}.input_layernorm.weight"] = np.asarray(
-            layers["input_norm"]["scale"]
+            layers["input_norm"]["scale"], np.float32
         )[i]
         sd[f"model.layers.{i}.post_attention_layernorm.weight"] = np.asarray(
-            layers["post_attn_norm"]["scale"]
+            layers["post_attn_norm"]["scale"], np.float32
         )[i]
         for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
             put(i, f"self_attn.{name}", layers["attn"][name])
@@ -78,6 +86,10 @@ def export_llama(params_llm: Dict[str, Any], llm_cfg, out_dir: str) -> str:
         "rms_norm_eps": llm_cfg.rms_eps,
         "rope_theta": llm_cfg.rope_theta,
         "tie_word_embeddings": llm_cfg.tied_embeddings,
+        # qwen2-style q/k/v biases only load back if the config says so
+        "attention_bias": bool(llm_cfg.qkv_bias),
+        "bos_token_id": 1,
+        "eos_token_id": 2,
         "max_position_embeddings": 4096,
         "torch_dtype": "float32",
     }

@@ -23,8 +23,12 @@ _CONTRACTIONS = {
 _SPECIALS = {
     "mr": "mister", "mrs": "missus", "st": "saint", "dr": "doctor",
     "prof": "professor", "jr": "junior", "sr": "senior",
-    "&": "and", "%": "percent", "$": "dollars", "£": "pounds", "€": "euros",
+    "&": "and", "%": "percent",
 }
+# currency symbols precede the amount in writing but FOLLOW it in speech:
+# "$25" must normalize to "25 dollars" (matching the spoken hypothesis), not
+# "dollars 25"
+_CURRENCY = {"$": "dollars", "£": "pounds", "€": "euros"}
 
 _ONES = {
     "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
@@ -40,34 +44,66 @@ _SCALES = {"hundred": 100, "thousand": 1000, "million": 10**6, "billion": 10**9}
 
 
 def words_to_number(tokens: List[str]):
-    """Parse a run of number words; returns (value, n_consumed) or None."""
+    """Parse a run of number words; returns (value, n_consumed) or None.
+
+    A component may only EXTEND the current hundreds-group if it is strictly
+    smaller than what room remains ("twenty" then "five" ok; "nineteen" then
+    "ninety" is TWO numbers) — without this, adjacent independent numbers
+    summed ("nineteen ninety nine" -> 118). "and" joins only after a scale
+    word ("hundred and two"), never two independent numbers ("one and two").
+    """
     total, current, consumed = 0, 0, 0
     seen_any = False
+    room = 10 ** 9  # next component must be < room within the group
+    last_was_scale = False
     for tok in tokens:
         t = tok.replace("-", " ").split()
-        if len(t) == 2 and t[0] in _TENS and t[1] in _ONES and _ONES[t[1]] < 10:
-            current += _TENS[t[0]] + _ONES[t[1]]
+        if len(t) == 2 and t[0] in _TENS and t[1] in _ONES and 0 < _ONES[t[1]] < 10:
+            v = _TENS[t[0]] + _ONES[t[1]]
+            if _TENS[t[0]] >= room:
+                break
+            current += v
+            room = 1  # group exhausted (tens+ones)
             consumed += 1
             seen_any = True
+            last_was_scale = False
         elif tok in _ONES:
-            current += _ONES[tok]
+            v = _ONES[tok]
+            if v == 0:
+                # "zero" never combines ("zero zero seven" stays three words)
+                break
+            need = 11 if v >= 10 else v  # teens occupy the tens+ones slots
+            if need >= room:
+                break
+            current += v
+            room = 1
             consumed += 1
             seen_any = True
+            last_was_scale = False
         elif tok in _TENS:
+            if _TENS[tok] >= room:
+                break
             current += _TENS[tok]
+            room = 10  # only a ones word may follow in this group
             consumed += 1
             seen_any = True
-        elif tok == "and" and seen_any:
+            last_was_scale = False
+        elif tok == "and" and last_was_scale:
             consumed += 1
         elif tok in _SCALES:
             if not seen_any:
                 return None
             if tok == "hundred":
-                current = max(current, 1) * 100
+                if current == 0 or current >= 100:
+                    break
+                current = current * 100
+                room = 100
             else:
                 total += max(current, 1) * _SCALES[tok]
                 current = 0
+                room = 10 ** 9
             consumed += 1
+            last_was_scale = True
         else:
             break
     if not seen_any:
@@ -105,18 +141,26 @@ def reduce_repeated_words(text: str) -> str:
 class EnglishTextNormalizer:
     def __call__(self, text: str) -> str:
         s = text.lower()
+        # fold unicode apostrophes BEFORE contraction lookup: curly-quote
+        # "won’t" must expand like ASCII "won't", not shatter to "won t"
+        s = s.replace("’", "'").replace("‘", "'").replace("ʼ", "'")
         s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)  # remove [..] <..> asides
         s = re.sub(r"\(([^)]+?)\)", "", s)  # remove (..) asides
         for k, v in _CONTRACTIONS.items():
             s = s.replace(k, v)
         s = re.sub(r"(\d),(\d)", r"\1\2", s)  # 1,000 -> 1000
+        for sym, word in _CURRENCY.items():
+            # $25 / $25.50 -> "25 dollars" (spoken order); bare symbol -> word
+            s = re.sub(rf"\{sym}\s*(\d+(?:\.\d+)?)", rf"\1 {word}", s)
+            s = s.replace(sym, f" {word} ")
         for k, v in _SPECIALS.items():
             if len(k) > 1:
                 s = re.sub(rf"\b{k}\b\.?", v, s)
             else:
                 s = s.replace(k, f" {v} ")
         s = re.sub(r"[^\w\s'.-]", " ", s)  # drop punctuation
-        s = re.sub(r"(?<!\d)\.(?!\d)", " ", s)  # keep decimal points only
+        # keep '.' only BETWEEN digits (3.14); "costs 5." must yield "5"
+        s = re.sub(r"\.(?!\d)", " ", s)
         s = s.replace("-", " ")
         s = normalize_numbers(s)
         s = re.sub(r"\s+", " ", s).strip()

@@ -75,3 +75,23 @@ def test_normalize_file(tmp_path):
     lines = dst.read_text().strip().split("\n")
     assert lines[0] == "utt1\thello world"
     assert lines[1] == "utt2\tthat is fine"
+
+
+def test_normalizer_no_wrong_sums():
+    """Adjacent independent numbers must NOT sum (round-2 review: the old
+    parser turned 'nineteen ninety nine' into 118)."""
+    n = EnglishTextNormalizer()
+    assert n("nineteen ninety nine") == "nineteen 99"
+    assert n("agent zero zero seven") == "agent zero zero seven"
+    assert n("rooms one and two") == "rooms one and two"
+    assert n("seventeen seventy six") == "seventeen 76"
+    assert n("five hundred sixty") == "560"
+
+
+def test_normalizer_punctuation_and_currency():
+    n = EnglishTextNormalizer()
+    assert n("It costs 5.") == "it costs 5"  # sentence-final period
+    assert n("3.14 is pi") == "3.14 is pi"  # decimals survive
+    assert n("won’t go") == "will not go"  # curly apostrophe
+    assert n("$5") == "5 dollars"  # spoken order
+    assert n("$25.50 please") == "25.50 dollars please"
