@@ -68,6 +68,8 @@ def build_round_batch(
     text_input: Optional[str] = None,
     mel_size: int = 80,
     max_audio_s: float = 30.0,
+    fix_length_audio: int = -1,
+    text_buckets=(64, 128, 256, 512, 1024),
 ) -> Dict[str, Any]:
     """One dialogue round -> multi-stream inference batch of 1.
 
@@ -88,6 +90,8 @@ def build_round_batch(
         raw = audio_ops.pad_or_trim(raw, int(max_audio_s * audio_ops.SAMPLE_RATE))
         audio_mel = audio_ops.log_mel_spectrogram(raw, n_mels=mel_size)
         a_len = (audio_mel.shape[0] + 1) // 2 // 5
+        if fix_length_audio > 0:  # must match the TRAINING layout
+            a_len = fix_length_audio
         text_region = [v.input_t] + [v.pad_t] * a_len + [v.eot, v.answer_t]
     else:
         text_ids = list(tokenizer.encode(text_input or "", add_bos=False))
@@ -104,12 +108,29 @@ def build_round_batch(
 
     input_ids = np.stack([np.asarray(s, np.int64) for s in streams])  # (L+1, T)
     t = input_ids.shape[1]
-    modality_mask = np.zeros(t, np.int32)
+    # LEFT-pad the prompt to a bucketed length: every distinct dialogue/
+    # history length would otherwise recompile the entire jitted decode
+    # graph (the generator is left-pad agnostic: cumsum positions +
+    # last-valid-index logits)
+    from slam_llm_tpu.data.speech_dataset import bucketize
+
+    t_pad = bucketize(t, list(text_buckets))
+    left = t_pad - t
+    if left:
+        pad_cols = np.stack(
+            [np.full(left, shift(v.pad_a, i), np.int64) for i in range(L)]
+            + [np.full(left, v.pad_t, np.int64)]
+        )
+        input_ids = np.concatenate([pad_cols, input_ids], axis=1)
+    attention_mask = np.concatenate(
+        [np.zeros(left, np.int32), np.ones(t, np.int32)]
+    )
+    modality_mask = np.zeros(t_pad, np.int32)
     if wav_path is not None:
-        modality_mask[p_len + 1 : p_len + 1 + a_len] = 1
+        modality_mask[left + p_len + 1 : left + p_len + 1 + a_len] = 1
     batch = {
         "input_ids": input_ids[None],
-        "attention_mask": np.ones((1, t), np.int32),
+        "attention_mask": attention_mask[None],
         "modality_mask": modality_mask[None],
     }
     if audio_mel is not None:
@@ -145,6 +166,8 @@ class S2SSession:
         self.params = None
         self.history = ""
         self.mel_size = getattr(cfg.dataset_config, "mel_size", 80)
+        self.fix_length_audio = getattr(cfg.dataset_config, "fix_length_audio", -1)
+        self.max_audio_s = getattr(cfg.dataset_config, "max_audio_length_s", 30.0)
         self.system_prompt = getattr(
             cfg.dataset_config, "prompt", "Conduct a spoken conversation with the user."
         )
@@ -184,6 +207,7 @@ class S2SSession:
             self.tokenizer, self.vocab, self.system_prompt,
             history=self.history if keep_history else "",
             wav_path=wav_path, text_input=text_input, mel_size=self.mel_size,
+            max_audio_s=self.max_audio_s, fix_length_audio=self.fix_length_audio,
         )
         params = self._ensure_params(batch)
         with self.mesh:
@@ -192,11 +216,12 @@ class S2SSession:
         text_out = self.tokenizer.decode(
             [int(x) for x in trimmed[-1] if 0 <= int(x) < self.vocab.text_vocabsize]
         ).strip()
-        streams = np.stack([
-            np.pad(s, (0, max(len(r) for r in trimmed[:-1]) - len(s)),
-                   constant_values=self.vocab.pad_a)
-            for s in trimmed[:-1]
-        ]) if trimmed[0].size else np.zeros((self.vocab.code_layer, 0), np.int64)
+        # trim_generated cuts every audio layer at the same end index
+        streams = (
+            np.stack(trimmed[:-1])
+            if trimmed[0].size
+            else np.zeros((self.vocab.code_layer, 0), np.int64)
+        )
 
         wav = None
         if self.codec is not None and streams.shape[1] > 8:
@@ -215,17 +240,25 @@ class S2SSession:
         batch = build_round_batch(
             self.tokenizer, self.vocab, self.system_prompt,
             wav_path=wav_path, text_input=text_input, mel_size=self.mel_size,
+            max_audio_s=self.max_audio_s, fix_length_audio=self.fix_length_audio,
         )
         params = self._ensure_params(batch)
+        # decode CUMULATIVELY and yield the text delta: per-chunk decode
+        # corrupts multi-byte characters whose tokens straddle a chunk
+        # boundary (ByteTokenizer drops split UTF-8 sequences silently)
+        acc_ids: List[int] = []
+        prev_text = ""
         with self.mesh:
             for chunk in self.gen.stream_generate(
                 params, batch, stream_stride=stream_stride, codec_decoder=self.codec
             ):
-                text = self.tokenizer.decode([
+                acc_ids.extend(
                     int(x) for x in chunk["text_tokens"][0]
                     if 0 <= int(x) < self.vocab.text_vocabsize
-                ])
-                yield text, chunk.get("audio")
+                )
+                full = self.tokenizer.decode(acc_ids)
+                delta, prev_text = full[len(prev_text):], full
+                yield delta, chunk.get("audio")
 
 
 # ---------------------------------------------------------------------------

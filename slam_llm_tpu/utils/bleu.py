@@ -65,6 +65,9 @@ def tokenize_13a(line: str) -> List[str]:
 _CJK_RANGES = (
     (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),
     (0x3040, 0x30FF),  # hiragana/katakana
+    (0x3000, 0x303F),  # CJK symbols/punctuation (、。「」...)
+    (0xFF00, 0xFFEF),  # fullwidth forms (，！？ etc.)
+    (0x20000, 0x2A6DF), (0x2A700, 0x2B73F),  # Ext-B/C ideographs
 )
 
 
@@ -129,6 +132,13 @@ def corpus_bleu(
 
     Returns (bleu_percent, precisions_percent[max_n], brevity_penalty).
     """
+    if smooth not in ("exp", "none", None):
+        raise ValueError(
+            f"smooth={smooth!r}: only 'exp'/'none' are implemented "
+            "(sacrebleu 'floor'/'add-k' are not — failing loudly beats a "
+            "silently-zero score)"
+        )
+
     if len(hypotheses) != len(references):
         raise ValueError(f"{len(hypotheses)} hyps vs {len(references)} ref sets")
     num = [0] * max_n  # clipped matches per order

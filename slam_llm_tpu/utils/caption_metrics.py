@@ -137,12 +137,14 @@ def cider_d(
     n_docs = max(len(references), 1)
 
     def tfidf(grams: Counter, n: int) -> Tuple[Dict, float]:
+        # RAW counts * idf (pycocoevalcap cider_d.py semantics): min-clipping
+        # is not invariant under per-vector scaling, so normalizing by the
+        # total n-gram count here would change scores vs the reference scorer
         vec = {}
         norm = 0.0
-        total = max(sum(grams.values()), 1)
         for g, cnt in grams.items():
             idf = math.log(max(n_docs, 1)) - math.log(max(doc_freq[n][g], 1))
-            w = (cnt / total) * idf
+            w = float(cnt) * idf
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm)
@@ -300,15 +302,18 @@ def compute_caption_metrics(
     return out
 
 
-def _read_log(path: str) -> Dict[str, str]:
-    out = {}
+def _read_log(path: str) -> Dict[str, List[str]]:
+    """key -> ALL captions for that key (AAC gt logs carry multiple
+    references per clip — Clotho has 5; collapsing to the last line would
+    score against one arbitrary reference)."""
+    out: Dict[str, List[str]] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.rstrip("\n").split("\t", 1)
             if len(parts) == 1:
                 parts = line.strip().split(maxsplit=1)
             if parts:
-                out[parts[0]] = parts[1] if len(parts) > 1 else ""
+                out.setdefault(parts[0], []).append(parts[1] if len(parts) > 1 else "")
     return out
 
 
@@ -316,8 +321,8 @@ def main(gt_path: str, pred_path: str) -> Dict[str, float]:
     gts = _read_log(gt_path)
     preds = _read_log(pred_path)
     keys = [k for k in preds if k in gts]
-    cands = [preds[k] for k in keys]
-    refs = [[gts[k]] for k in keys]
+    cands = [preds[k][-1] for k in keys]
+    refs = [gts[k] for k in keys]
     metrics = compute_caption_metrics(cands, refs)
     print(json.dumps(metrics))
     return metrics

@@ -111,6 +111,15 @@ def clap_refine_with_model(
         ))
 
     cands = read_candidates(pred_logs)
+    # keys absent from the manifest must not KeyError after all the
+    # embedding work and lose the whole rerank output — skip and report
+    missing = [k for k in cands if k not in wav_by_key]
+    if missing:
+        import sys
+
+        print(f"clap_refine: skipping {len(missing)} keys missing from the "
+              f"manifest (e.g. {missing[0]!r})", file=sys.stderr)
+        cands = {k: v for k, v in cands.items() if k in wav_by_key}
     sel = clap_refine(cands, audio_embed_fn, text_embed_fn)
     write_selection(sel, out)
     return sel

@@ -40,26 +40,61 @@ def ppl_of_texts(model, params, tokenizer, texts: List[str], max_len: int = 512)
     return per_text, total
 
 
-def main(path: str):
-    from slam_llm_tpu.data.tokenizer import ByteTokenizer
-    from slam_llm_tpu.models.llm import CausalLM, LLMConfig
+def main(argv=None):
+    """CLI: score a decode log's fluency under a REAL pretrained LM.
+
+    Requires --llm (HF dir, converted via utils/hf_loader) — scoring under
+    random init would print plausible-looking noise.
+    """
+    import argparse
 
     import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("path", help="decode log (key<TAB>text per line)")
+    ap.add_argument("--llm", required=True, help="HF llama-family checkpoint dir")
+    ap.add_argument("--llm-name", default="tinyllama-1.1b",
+                    help="LLMConfig preset matching the checkpoint")
+    args = ap.parse_args(argv)
+
+    from slam_llm_tpu.data.tokenizer import load_tokenizer
+    from slam_llm_tpu.models.llm import CausalLM, LLMConfig
+    from slam_llm_tpu.utils.hf_loader import convert_llama, load_hf_state_dict
+
+    presets = {
+        "tinyllama-1.1b": LLMConfig.tinyllama_1_1b,
+        "vicuna-7b": LLMConfig.vicuna_7b,
+        "qwen2-7b": LLMConfig.qwen2_7b,
+        "tiny-test": LLMConfig.tiny_test,
+    }
+    cfg = presets[args.llm_name]()
+    tok = load_tokenizer(args.llm)
 
     texts = []
-    with open(path, encoding="utf-8") as f:
+    with open(args.path, encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split("\t", 1)
             if len(parts) == 2:
                 texts.append(parts[1])
-    tok = ByteTokenizer()
-    cfg = LLMConfig.tiny_test(vocab_size=tok.vocab_size)
+
     model = CausalLM(cfg)
-    ids = jax.numpy.zeros((1, 4), jax.numpy.int32)
-    params = model.init(jax.random.PRNGKey(0), ids, jax.numpy.ones((1, 4), jax.numpy.int32), method="init_all")
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 4), jnp.int32),
+                        method="init_all")
+    sub = convert_llama(load_hf_state_dict(args.llm), cfg)
+    import numpy as _np
+
+    host = jax.tree_util.tree_map(_np.asarray, params["params"])
+    from slam_llm_tpu.utils.hf_loader import _overlay
+
+    _overlay(host, sub)
+    params = {"params": jax.tree_util.tree_map(jnp.asarray, host)}
+
     per_text, total = ppl_of_texts(model, params, tok, texts)
     print(json.dumps({"corpus_ppl": round(total, 3), "n": len(texts)}))
+    return total
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main()

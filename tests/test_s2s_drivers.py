@@ -57,6 +57,8 @@ def tiny_session(tmp_path_factory):
     s.codec = None
     s.history = ""
     s.mel_size = 8
+    s.max_audio_s = 30.0
+    s.fix_length_audio = -1
     s.system_prompt = "chat"
     s.cfg = None
 
@@ -91,8 +93,13 @@ def test_round_batch_layout_text():
     ids = b["input_ids"][0]
     assert ids.shape[0] == L + 1
     text = ids[L]
+    # prompt is LEFT-padded to a bucket (compile-shape control); the real
+    # layout starts at the first attended position
+    left = text.shape[0] - int(b["attention_mask"].sum())
+    assert (b["attention_mask"][0, :left] == 0).all()
+    assert (text[:left] == v.pad_t).all()
     # prompt region starts input_t, ends eot; input region repeats that pair
-    assert text[0] == v.input_t and v.eot in text
+    assert text[left] == v.input_t and v.eot in text
     # text round: literal tokens in the input region, answer_t terminal
     assert text[-1] == v.answer_t
     # audio streams: layershifted markers
