@@ -204,6 +204,9 @@ class DataConfig:
     channel_type: str = "binaural"
     ext_audio: str = ".wav"
     # Static-shape pipeline (replaces dynamic collation; SURVEY.md §7.1):
+    seed: int = 0  # dataset-side rng (vallex nar stages, mir crops)
+    crop_seconds: float = 10.0  # mir random-crop window
+    audio_token_buckets: List[int] = field(default_factory=lambda: [128, 256, 512, 1024])
     text_buckets: List[int] = field(default_factory=lambda: [64, 128, 192, 256])
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])
     num_workers: int = 2

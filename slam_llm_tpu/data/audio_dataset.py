@@ -26,10 +26,14 @@ DEFAULT_AAC_PROMPT = "Describe the audio you hear. "
 
 class AudioDatasetJsonl(SpeechDatasetJsonl):
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
-        # bypass parent's input_type assert: fbank is its own input type
-        self._orig_input_type = getattr(dataset_config, "input_type", "mel")
+        # bypass parent's input_type assert WITHOUT leaving the shared
+        # config mutated (fbank is its own input type)
+        orig = getattr(dataset_config, "input_type", "mel")
         dataset_config.input_type = "mel"
-        super().__init__(dataset_config, tokenizer, split)
+        try:
+            super().__init__(dataset_config, tokenizer, split)
+        finally:
+            dataset_config.input_type = orig
         self.model_name = getattr(dataset_config, "encoder_name", "eat")
         self.fbank_mean = getattr(dataset_config, "fbank_mean", -4.268)
         self.fbank_std = getattr(dataset_config, "fbank_std", 4.569)

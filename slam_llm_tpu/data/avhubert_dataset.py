@@ -62,8 +62,12 @@ def load_video_gray(path: str, train: bool = False, rng=None) -> np.ndarray:
 
 class AVHubertDatasetJsonl(SpeechDatasetJsonl):
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        orig = getattr(dataset_config, "input_type", "mel")
         dataset_config.input_type = "mel"  # bypass parent's raw/mel assert
-        super().__init__(dataset_config, tokenizer, split)
+        try:
+            super().__init__(dataset_config, tokenizer, split)
+        finally:
+            dataset_config.input_type = orig
         self.modal = getattr(dataset_config, "modal", "video")  # video | audio_video
         self.ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
         self.rng = np.random.default_rng(42)

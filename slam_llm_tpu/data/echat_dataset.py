@@ -75,16 +75,26 @@ class EChatDataset(SpeechDatasetJsonl):
             getattr(dataset_config, "max_audio_length_s", 30.0) * audio_ops.SAMPLE_RATE
         )
         self.specaug = bool(getattr(dataset_config, "specaug", False)) and split == "train"
+        import threading
+
         import numpy as np
 
         self._specaug_rng = np.random.default_rng(1234)
+        self._specaug_lock = threading.Lock()  # inherited __getitem__ acquires it
 
-        path = getattr(dataset_config, "data_path", None) or (
+        single = getattr(dataset_config, "data_path", None)
+        path = single or (
             dataset_config.train_data_path if split == "train" else dataset_config.val_data_path
         )
         records = parse_echat_manifest(path)
-        cut = int(len(records) * 0.9)
-        self.data_list = records[:cut] if split == "train" else records[cut:]
+        if single:
+            # ONE manifest: positional 90/10 split (reference echat_dataset)
+            cut = int(len(records) * 0.9)
+            self.data_list = records[:cut] if split == "train" else records[cut:]
+        else:
+            # separate train/val files: each file IS its split — re-splitting
+            # would silently discard 10% of train and 90% of val
+            self.data_list = records
 
 
 def get_echat_dataset(dataset_config, tokenizer, split: str) -> EChatDataset:

@@ -23,11 +23,20 @@ MUSIC_SR = 24000
 
 class MIRDatasetJsonl(SpeechDatasetJsonl):
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        # bypass the parent's raw/mel assert WITHOUT mutating the shared
+        # config object (other components read dataset_config.input_type)
+        orig_input_type = getattr(dataset_config, "input_type", "mel")
         dataset_config.input_type = "mel"
-        super().__init__(dataset_config, tokenizer, split)
+        try:
+            super().__init__(dataset_config, tokenizer, split)
+        finally:
+            dataset_config.input_type = orig_input_type
         self.crop_seconds = getattr(dataset_config, "crop_seconds", 10.0)
         self.ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
         self.random_crop = split == "train"
+        self._crop_rng = np.random.default_rng(
+            getattr(dataset_config, "seed", 0) + 777
+        )
         if getattr(dataset_config, "prompt", None) is None:
             self.prompt = DEFAULT_MC_PROMPT
 
@@ -38,13 +47,24 @@ class MIRDatasetJsonl(SpeechDatasetJsonl):
         audio_raw = audio_ops.load_audio(item.get("source"), sr=MUSIC_SR)
         crop = int(self.crop_seconds * MUSIC_SR)
         if len(audio_raw) > crop:
-            start = (
-                np.random.randint(0, len(audio_raw) - crop) if self.random_crop else 0
-            )
+            if self.random_crop:
+                # seeded per-instance generator under a lock: the global
+                # legacy np.random is neither reproducible nor thread-safe
+                # under the threaded prefetch loader
+                with self._specaug_lock:
+                    start = int(self._crop_rng.integers(0, len(audio_raw) - crop))
+            else:
+                start = 0
             audio_raw = audio_raw[start : start + crop]
         else:
             audio_raw = np.pad(audio_raw, (0, crop - len(audio_raw)))
         mel = audio_ops.music_log_mel(audio_raw, sr=MUSIC_SR)
+        if self.specaug:
+            from slam_llm_tpu.ops.specaug import spec_augment
+
+            with self._specaug_lock:
+                child = int(self._specaug_rng.integers(2**63))
+            mel = spec_augment(mel, rng=np.random.default_rng(child))
         audio_length = (mel.shape[0] // 4) // self.ds_rate
         if self.fix_length_audio > 0:
             audio_length = self.fix_length_audio

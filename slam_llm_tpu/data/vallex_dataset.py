@@ -20,6 +20,13 @@ class VallexDatasetJsonl:
         self.split = split
         self.n_codebooks = getattr(dataset_config, "code_layer", 8)
         self.seed = getattr(dataset_config, "seed", 0)
+        import threading
+
+        # ONE generator for the dataset's lifetime (a fresh rng per collate
+        # call made nar_stage identical for every batch, starving most NAR
+        # stages of gradient); lock: the prefetch loader collates from threads
+        self._rng = np.random.default_rng(self.seed)
+        self._rng_lock = threading.Lock()
         path = (
             dataset_config.train_data_path if split == "train" else dataset_config.val_data_path
         )
@@ -46,6 +53,11 @@ class VallexDatasetJsonl:
         audio = np.asarray(item["audio_tokens"], np.int64)
         if audio.ndim == 1:
             audio = audio[None].repeat(self.n_codebooks, 0)
+        if audio.shape[0] < self.n_codebooks:
+            # fewer codebooks than code_layer: pad rows so collation keeps
+            # its static (B, L, T) shape instead of a broadcast error
+            pad = np.zeros((self.n_codebooks - audio.shape[0], audio.shape[1]), np.int64)
+            audio = np.concatenate([audio, pad], axis=0)
         return {
             "key": item.get("key", str(index)),
             "text_ids": text_ids,
@@ -56,10 +68,15 @@ class VallexDatasetJsonl:
         a = self.data_list[index].get("audio_tokens", [])
         return len(a[0]) if a and isinstance(a[0], list) else len(a)
 
+    def _draw_nar_stage(self, b: int, L: int) -> np.ndarray:
+        if L <= 1:
+            return np.ones((b,), np.int32)  # single-codebook: no NAR stages
+        with self._rng_lock:
+            return self._rng.integers(1, L, size=b).astype(np.int32)
+
     def collator(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
         text_buckets = list(getattr(self.config, "text_buckets", [32, 64, 128, 256]))
         audio_buckets = list(getattr(self.config, "audio_token_buckets", [128, 256, 512, 1024]))
-        rng = np.random.default_rng(self.seed)
         b = len(samples)
         tt = bucketize(max(len(s["text_ids"]) for s in samples), text_buckets)
         ta = bucketize(max(s["audio_ids"].shape[1] for s in samples), audio_buckets)
@@ -80,7 +97,7 @@ class VallexDatasetJsonl:
             "text_mask": text_mask,
             "audio_ids": audio_ids,
             "audio_mask": audio_mask,
-            "nar_stage": rng.integers(1, L, size=b).astype(np.int32),
+            "nar_stage": self._draw_nar_stage(b, L),
             "keys": [s["key"] for s in samples],
         }
 

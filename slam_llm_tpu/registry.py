@@ -25,7 +25,13 @@ def load_module_from_py_file(py_file: str):
         raise ImportError(f"Cannot load module from {py_file}")
     module = importlib.util.module_from_spec(spec)
     sys.modules[module_name] = module
-    spec.loader.exec_module(module)
+    try:
+        spec.loader.exec_module(module)
+    except BaseException:
+        # don't cache a half-initialized module: a retry would get the
+        # broken shell and fail later with a confusing AttributeError
+        sys.modules.pop(module_name, None)
+        raise
     return module
 
 
@@ -82,6 +88,10 @@ def get_custom_dataset_factory(dataset_config) -> Callable[..., Any]:
         from slam_llm_tpu.data.vallex_dataset import get_vallex_dataset
 
         return get_vallex_dataset
+    if name == "echat_dataset":
+        from slam_llm_tpu.data.echat_dataset import get_echat_dataset
+
+        return get_echat_dataset
     if name == "avhubert_dataset":
         from slam_llm_tpu.data.avhubert_dataset import get_avhubert_dataset
 
