@@ -40,9 +40,16 @@ class AudioDatasetJsonl(SpeechDatasetJsonl):
         self.target_length = getattr(dataset_config, "target_length", 1024)
         self.fixed_length = getattr(dataset_config, "fixed_length", True)
         self.random_crop = getattr(dataset_config, "random_crop", False) and split == "train"
+        # seeded, thread-safe crop rng (unseeded default_rng() per call was
+        # irreproducible under a fixed seed; prefetch collates from threads)
+        self._crop_rng = np.random.default_rng(getattr(dataset_config, "seed", 0) + 555)
         self.ds_rate = getattr(dataset_config, "encoder_projector_ds_rate", 5)
         if self.prompt is None:
             self.prompt = DEFAULT_AAC_PROMPT
+
+    def _crop_child_rng(self):
+        with self._specaug_lock:
+            return np.random.default_rng(int(self._crop_rng.integers(2**63)))
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         item = self.data_list[index]
@@ -65,6 +72,7 @@ class AudioDatasetJsonl(SpeechDatasetJsonl):
                 audio_raw, norm_mean=self.fbank_mean, norm_std=self.fbank_std,
                 target_length=self.target_length, fixed_length=self.fixed_length,
                 random_crop=self.random_crop,
+                rng=self._crop_child_rng() if self.random_crop else None,
             )
             audio_length = mel.shape[0] // 2 + 1  # + CLS token
         audio_length = audio_length // self.ds_rate

@@ -59,6 +59,9 @@ class EChatDataset(SpeechDatasetJsonl):
     """Same item/collator pipeline as SpeechDatasetJsonl over echat pairs."""
 
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        from slam_llm_tpu.data.speech_dataset import normalize_split
+
+        split = normalize_split(dataset_config, split)
         # parent __init__ reads a jsonl manifest; bypass its loader
         self.config = dataset_config
         self.tokenizer = tokenizer

@@ -65,6 +65,9 @@ def snac_answer_tokens(layer_tokens: List[List[int]], pad_a: int, eoa: int) -> n
 
 class S2SDatasetJsonl:
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        from slam_llm_tpu.data.speech_dataset import normalize_split
+
+        split = normalize_split(dataset_config, split)
         self.config = dataset_config
         self.tokenizer = tokenizer
         self.split = split

@@ -78,6 +78,9 @@ class SpatialAudioDatasetJsonl(SpeechDatasetJsonl):
     the collator turns into ``audio_binaural`` feature maps."""
 
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        from slam_llm_tpu.data.speech_dataset import normalize_split
+
+        split = normalize_split(dataset_config, split)
         self.config = dataset_config
         self.tokenizer = tokenizer
         self.split = split

@@ -37,6 +37,15 @@ DEFAULT_PROMPT = (
 PROMPT_TEMPLATE = "USER: {}\n ASSISTANT:"
 
 
+def normalize_split(dataset_config, split: str) -> str:
+    """Map a configured ``train_split`` alias (e.g. 'train_960') to the
+    literal 'train' that the in-tree datasets branch on — otherwise a custom
+    alias would silently select val_data_path for training."""
+    if split == "train" or split == getattr(dataset_config, "train_split", "train"):
+        return "train"
+    return split
+
+
 def bucketize(n: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= n; extends by doubling the last bucket if needed."""
     buckets = sorted(buckets)
@@ -53,6 +62,7 @@ class SpeechDatasetJsonl:
     """Map-style dataset over a ``{key, source, target}`` jsonl manifest."""
 
     def __init__(self, dataset_config, tokenizer=None, split: str = "train"):
+        split = normalize_split(dataset_config, split)
         self.config = dataset_config
         self.tokenizer = tokenizer
         self.split = split

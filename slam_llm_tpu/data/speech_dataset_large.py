@@ -37,6 +37,9 @@ class MultiTaskDataset:
 
     def __init__(self, dataset_config, tokenizer=None, split: str = "train",
                  rank: int = 0, world_size: int = 1):
+        from slam_llm_tpu.data.speech_dataset import normalize_split
+
+        split = normalize_split(dataset_config, split)
         self.config = dataset_config
         self.tokenizer = tokenizer
         self.split = split

@@ -118,7 +118,11 @@ class CLAP(nn.Module):
         """Symmetric InfoNCE over in-batch pairs (reference forward:68-85)."""
         za = self.encode_audio(batch["audio_mel"], batch.get("audio_mel_mask"))
         zt = self.encode_text(batch["text_ids"], batch["text_mask"])
-        logits = za @ zt.T / self.temp
+        # reference ase_model clamps temp into [0.001, 0.5] every forward —
+        # an unclamped learned scalar can be driven through zero by AdamW,
+        # flipping/exploding the logits
+        temp = jnp.clip(self.temp, 1e-3, 0.5)
+        logits = za @ zt.T / temp
         labels = jnp.arange(za.shape[0])
         loss_a = -jnp.take_along_axis(
             jax.nn.log_softmax(logits, axis=1), labels[:, None], axis=1
@@ -136,8 +140,9 @@ class CLAP(nn.Module):
 
 def convert_ase_torch_state(sd: Dict[str, Any], cfg: CLAPConfig) -> Dict:
     """Full reference ASE checkpoint -> CLAP flax params."""
-    npd = {k: np.asarray(getattr(v, "numpy", lambda: v)() if hasattr(v, "numpy") else v, np.float32)
-           for k, v in sd.items()}
+    from slam_llm_tpu.ops.torch_port import to_np
+
+    npd = {k: to_np(v) for k, v in sd.items()}
 
     def sub(prefix):
         n = len(prefix)

@@ -161,7 +161,12 @@ class HTSAT(nn.Module):
         x = x.reshape(b, n_feat, sf // cfb, cfb, st)
         x = x.transpose(0, 1, 3, 2, 4).reshape(b, n_feat, cfb, -1)
 
-        fine_grained = jnp.mean(x, axis=2).transpose(0, 2, 1)  # (B, T', C)
+        # reference htsat.py interpolates fine_grained by 8*patch_stride so
+        # it shares framewise_output's time axis (frame-level consumers rely
+        # on the two aligning); nearest-repeat == reference interpolate()
+        fine_grained = jnp.repeat(
+            jnp.mean(x, axis=2).transpose(0, 2, 1), 8 * c.patch_stride, axis=1
+        )  # (B, T'*32, C)
         latent = jnp.mean(x.reshape(b, n_feat, -1), axis=-1)  # (B, C)
 
         # tscam conv: (C -> num_classes), kernel (cfb, 3), pad (0, 1)

@@ -45,8 +45,11 @@ def main(cfg: RunConfig):
 
     model, tokenizer, train_ds = build_model_and_data(cfg, split=cfg.dataset_config.train_split)
     eval_ds = None
-    has_val_source = cfg.dataset_config.val_data_path or getattr(
-        cfg.dataset_config, "qa_data_root", None  # spatial recipes: {stage}/val.json
+    has_val_source = (
+        cfg.dataset_config.val_data_path
+        or getattr(cfg.dataset_config, "qa_data_root", None)  # spatial: {stage}/val.json
+        or getattr(cfg.dataset_config, "dev_scp_file_path", None)  # large-scale ark
+        or getattr(cfg.dataset_config, "data_path", None)  # echat: internal 90/10 split
     )
     if cfg.train_config.run_validation and has_val_source:
         from slam_llm_tpu.registry import get_custom_dataset_factory

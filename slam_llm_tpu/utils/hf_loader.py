@@ -31,10 +31,18 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
     st_files = sorted(p.glob("*.safetensors"))
     if st_files:
-        from safetensors.numpy import load_file
+        from safetensors import safe_open
 
         for f in st_files:
-            sd.update(load_file(str(f)))
+            # framework="pt": official Qwen2/Llama-3/TinyLlama checkpoints
+            # ship bf16 tensors, which safetensors.numpy cannot represent
+            # (numpy has no native bfloat16); cpu-torch reads them and
+            # upcasts to fp32 host-side without touching any jax device
+            with safe_open(str(f), framework="pt") as sf:
+                for k in sf.keys():
+                    import torch
+
+                    sd[k] = sf.get_tensor(k).to(torch.float32).numpy()
         return sd
     bin_files = sorted(p.glob("pytorch_model*.bin")) or sorted(p.glob("*.pt"))
     if not bin_files:
@@ -247,12 +255,30 @@ def convert_encoder_checkpoint(encoder_path: str, encoder_name: str, enc_cfg):
     )
 
 
+def _overlay_device(tree: Dict[str, Any], shardings: Dict[str, Any], src: Dict[str, Any], path: str = ""):
+    """Like ``_overlay`` but leaves not being replaced keep their existing
+    (possibly mesh-sharded) jax.Array untouched — fetching the whole tree to
+    host would (a) crash on multi-host runs (leaves span non-addressable
+    devices) and (b) re-upload every non-replaced param; each replaced leaf
+    goes host -> target sharding in ONE transfer."""
+    for k, v in src.items():
+        if k not in tree:
+            raise KeyError(f"converted key {path}{k} not in model params")
+        if isinstance(v, dict):
+            _overlay_device(tree[k], shardings[k], v, path + k + "/")
+        else:
+            old = tree[k]
+            if tuple(old.shape) != tuple(v.shape):
+                raise ValueError(
+                    f"shape mismatch at {path}{k}: model {old.shape} vs ckpt {v.shape}"
+                )
+            tree[k] = jax.device_put(np.asarray(v, dtype=old.dtype), shardings[k])
+
+
 def load_pretrained_into(params, slam_cfg, model_config, shardings):
     """Overlay HF llm/encoder weights onto initialized params, preserving
-    shardings (leaves are device_put per their NamedSharding)."""
-    import jax.numpy as jnp
-
-    host = jax.tree_util.tree_map(np.asarray, params)
+    shardings (each replaced leaf is device_put per its NamedSharding)."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
     if model_config.llm_path:
         if not os.path.isdir(model_config.llm_path):
             # a typo here must not silently train random-init weights
@@ -262,15 +288,10 @@ def load_pretrained_into(params, slam_cfg, model_config, shardings):
                 "safetensors/bin)"
             )
         sub = convert_llama(load_hf_state_dict(model_config.llm_path), slam_cfg.llm)
-        _overlay(host["llm"], sub)
+        _overlay_device(params["llm"], shardings["llm"], sub)
     if model_config.encoder_path:
         sub = convert_encoder_checkpoint(
             model_config.encoder_path, model_config.encoder_name, slam_cfg.encoder
         )
-        _overlay(host["encoder"], sub)
-
-    def put(x, old, s):
-        arr = jnp.asarray(x, dtype=old.dtype)
-        return jax.device_put(arr, s)
-
-    return jax.tree_util.tree_map(put, host, params, shardings)
+        _overlay_device(params["encoder"], shardings["encoder"], sub)
+    return params

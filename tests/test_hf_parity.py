@@ -147,3 +147,19 @@ def test_whisper_sinusoid_table_matches_hf(hf_whisper):
     stored = model_t.encoder.embed_positions.weight.detach().numpy()
     ours = np.asarray(sinusoidal_positions(hf_cfg.max_source_positions, hf_cfg.d_model))
     np.testing.assert_allclose(ours, stored, atol=1e-5)
+
+
+def test_bf16_safetensors_load(hf_llama, tmp_path):
+    """Official Qwen2/Llama-3/TinyLlama checkpoints ship bf16 safetensors,
+    which safetensors.numpy cannot read (numpy has no bfloat16) — the loader
+    must go through the torch framework and upcast to fp32."""
+    model_t, hf_cfg, _ = hf_llama
+    d = tmp_path / "bf16"
+    model_t.to(torch.bfloat16).save_pretrained(d, safe_serialization=True)
+    model_t.to(torch.float32)  # restore the shared fixture
+    sd = load_hf_state_dict(str(d))
+    w = sd["model.embed_tokens.weight"]
+    assert w.dtype == np.float32
+    np.testing.assert_allclose(
+        w, model_t.model.embed_tokens.weight.detach().numpy(), atol=1e-2
+    )
