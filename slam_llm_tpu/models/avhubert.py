@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from slam_llm_tpu.models.layers import DenseGeneralLora, LayerNorm, NEG_INF
+from slam_llm_tpu.models.layers import DenseGeneralLora, LayerNorm
 from slam_llm_tpu.models.wavlm import (
     PositionalConvEmbedding,
     WavLMConfig,
@@ -50,11 +50,17 @@ class AVHubertConfig:
     param_dtype: Any = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    # fairseq layer_norm_first: released AV-HuBERT LARGE checkpoints use
+    # pre-LN (True); if a base checkpoint was trained post-LN (the fairseq
+    # default is False, hubert.py:132), set False to match — a placement
+    # mismatch produces numerically wrong features with no error
+    layer_norm_first: bool = True
 
     def layer_cfg(self) -> WavLMConfig:
         return WavLMConfig(
             d_model=self.d_model, n_heads=self.n_heads, n_layers=self.n_layers,
-            ffn_dim=self.ffn_dim, rel_bias=False, do_stable_layer_norm=True,
+            ffn_dim=self.ffn_dim, rel_bias=False,
+            do_stable_layer_norm=self.layer_norm_first,
             conv_pos=self.conv_pos, conv_pos_groups=self.conv_pos_groups,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
@@ -198,39 +204,51 @@ class AVHubertEncoder(nn.Module):
         x = x * frame_mask[..., None].astype(x.dtype)
         x = x + PositionalConvEmbedding(lc, name="pos_conv")(x)
 
-        mask_b = frame_mask[:, None, None, :].astype(bool)
-        key_mask_bias = jnp.where(
-            jnp.broadcast_to(mask_b, (b, 1, t, t)), 0.0, NEG_INF
-        ).astype(jnp.float32)
-
+        # structural kv_mask (not a dense (B,1,T,T) bias): no rel-pos bias
+        # exists here to merge with, and the bias form would force every
+        # layer off the Pallas flash path onto the (B,H,T,T)-materializing
+        # XLA attention
         layer_cls = WavLMLayer
         if c.remat:
             layer_cls = nn.remat(WavLMLayer, prevent_cse=False)
         if c.scan_layers:
             def body(block, carry):
-                h, kb = carry
-                return (block(h, kb, None), kb), None
+                h, km = carry
+                return (block(h, None, None, km), km), None
 
             scan = nn.scan(
                 body, variable_axes={"params": 0}, split_rngs={"params": True},
                 length=c.n_layers, metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            (x, _), _ = scan(layer_cls(lc, name="layers"), (x, key_mask_bias))
+            (x, _), _ = scan(layer_cls(lc, name="layers"), (x, frame_mask))
         else:
             for i in range(c.n_layers):
-                x = layer_cls(lc, name=f"layers_{i}")(x, key_mask_bias, None)
+                x = layer_cls(lc, name=f"layers_{i}")(x, None, None, frame_mask)
         x = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="encoder_ln")(x)
         return x, frame_mask
 
 
-def stacked_logfbank(audio: np.ndarray, stack: int = 4, n_mels: int = 26) -> np.ndarray:
-    """AV-HuBERT audio features: 26-dim logfbank stacked 4 frames -> 25 Hz
-    (matches the 25 fps video rate)."""
-    from slam_llm_tpu.ops.fbank import fbank
+def stacked_logfbank(
+    audio: np.ndarray, stack: int = 4, n_mels: int = 26, normalize: bool = True
+) -> np.ndarray:
+    """AV-HuBERT audio features: python_speech_features logfbank (26-dim)
+    stacked 4 frames -> 25 Hz (matches the 25 fps video rate).
 
-    mel = fbank(np.asarray(audio) * 32768.0, num_mel_bins=n_mels)
-    n = (mel.shape[0] // stack) * stack
-    return mel[:n].reshape(-1, stack * n_mels).astype(np.float32)
+    Faithful to the released checkpoints' pipeline (reference
+    models/avhubert/hubert_dataset.py:259-287,353): psf logfbank on int16-
+    scale samples, ZERO-PAD to a stack multiple (not truncate), then
+    per-frame layer_norm over the stacked 104-dim features."""
+    from slam_llm_tpu.ops.fbank import logfbank_psf
+
+    mel = logfbank_psf(np.asarray(audio) * 32768.0, nfilt=n_mels)
+    if mel.shape[0] % stack:
+        mel = np.pad(mel, ((0, stack - mel.shape[0] % stack), (0, 0)))
+    feats = mel.reshape(-1, stack * n_mels).astype(np.float32)
+    if normalize:  # F.layer_norm(feats, feats.shape[1:])
+        mu = feats.mean(axis=-1, keepdims=True)
+        var = feats.var(axis=-1, keepdims=True)
+        feats = (feats - mu) / np.sqrt(var + 1e-5)
+    return feats
 
 
 # ---------------------------------------------------------------------------

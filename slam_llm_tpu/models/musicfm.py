@@ -157,8 +157,13 @@ class ConformerLayer(nn.Module):
         attn = mha_attention(q, k, v, kv_mask=kv_mask).reshape(b, t, c.d_model)
         x = x + dense("out_proj", ("heads", "embed"))(attn)
 
-        # convolution module
+        # convolution module — zero padded frames FIRST (HF
+        # Wav2Vec2ConformerConvolutionModule masked_fills before the
+        # depthwise conv): the kernel-31 conv would otherwise mix pad
+        # garbage into ~15 valid boundary frames per layer
         h = ln("conv_ln")(x)
+        if kv_mask is not None:
+            h = h * kv_mask[..., None].astype(h.dtype)
         h = DenseGeneralLora(
             features=2 * c.d_model, use_bias=False, dtype=c.dtype, param_dtype=c.param_dtype,
             kernel_axes=("embed", "mlp"), name="pointwise_conv1",

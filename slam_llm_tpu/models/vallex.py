@@ -215,17 +215,28 @@ class VALLE(nn.Module):
 
     # ---- NAR stage ----------------------------------------------------------
 
-    def nar_forward(self, text_ids, text_mask, audio_ids, audio_mask, stage):
+    def nar_forward(self, text_ids, text_mask, audio_ids, audio_mask, stage,
+                    prompt_len=None):
         """audio_ids (B, n_codebooks, Ta) with layers < stage filled in ->
-        logits for codebook ``stage`` (bidirectional, AdaLN-conditioned)."""
+        logits for codebook ``stage`` (bidirectional, AdaLN-conditioned).
+
+        ``prompt_len`` (B,): positions < prompt_len are the ENROLLED acoustic
+        prompt — the reference sums ALL its codebooks there regardless of
+        stage (vallex_model NAR prefix), which is where the speaker-cloning
+        signal for codebooks 1..L-1 lives."""
         c = self.cfg
+        b = audio_ids.shape[0]
         tt, ta = text_ids.shape[1], audio_ids.shape[2]
         x_text = self.text_embedding(jnp.maximum(text_ids, 0))
 
-        acc = jnp.zeros((audio_ids.shape[0], ta, c.d_model), c.dtype)
+        if prompt_len is None:
+            pos_is_prompt = jnp.zeros((b, ta), bool)
+        else:
+            pos_is_prompt = jnp.arange(ta)[None, :] < prompt_len[:, None]
+        acc = jnp.zeros((b, ta, c.d_model), c.dtype)
         for i in range(c.n_codebooks):
             contrib = self.audio_embeddings[i](jnp.maximum(audio_ids[:, i], 0))
-            known = (i < stage).astype(c.dtype)[:, None, None]  # (B,1,1)
+            known = ((i < stage)[:, None] | pos_is_prompt).astype(c.dtype)[..., None]
             acc = acc + known * contrib
         x = jnp.concatenate([x_text, acc], axis=1)
         x = x + self._pos(tt + ta)[None]
@@ -242,26 +253,42 @@ class VALLE(nn.Module):
         audio_ids, audio_mask = batch["audio_ids"], batch["audio_mask"]  # (B,L,Ta)
         stage = batch["nar_stage"]  # (B,) in [1, n_codebooks)
 
-        # AR: input = audio0 shifted right with BOS(=eos id reuse); predict audio0
+        # AR: input = audio0 shifted right with BOS(=eos id reuse); predict
+        # audio0 WITH a supervised EOS at the end of each row (reference
+        # pad_y_eos) — without it infer_ar's stop condition can never fire
         a0 = audio_ids[:, 0]
-        bos = jnp.full((a0.shape[0], 1), c.eos_audio, a0.dtype)
-        ar_in = jnp.concatenate([bos, a0[:, :-1]], axis=1)
-        ar_logits = self.ar_forward(text_ids, text_mask, ar_in, audio_mask)
-        mask_f = audio_mask.astype(jnp.float32)
+        b_, ta = a0.shape
+        lens = audio_mask.sum(axis=1).astype(jnp.int32)
+        a0_ext = jnp.concatenate([a0, jnp.zeros((b_, 1), a0.dtype)], axis=1)
+        a0_ext = a0_ext.at[jnp.arange(b_), lens].set(c.eos_audio)
+        mask_ext = jnp.concatenate(
+            [audio_mask, jnp.zeros((b_, 1), audio_mask.dtype)], axis=1
+        )
+        mask_ext = mask_ext.at[jnp.arange(b_), lens].set(1)
+        bos = jnp.full((b_, 1), c.eos_audio, a0.dtype)
+        ar_in = jnp.concatenate([bos, a0_ext[:, :-1]], axis=1)
+        ar_logits = self.ar_forward(text_ids, text_mask, ar_in, mask_ext)
+        mask_f = mask_ext.astype(jnp.float32)
         denom = jnp.maximum(mask_f.sum(), 1.0)
         logp = jax.nn.log_softmax(ar_logits, axis=-1)
-        ar_nll = -jnp.take_along_axis(logp, jnp.maximum(a0, 0)[..., None], axis=-1)[..., 0]
+        ar_nll = -jnp.take_along_axis(logp, jnp.maximum(a0_ext, 0)[..., None], axis=-1)[..., 0]
         ar_loss = (ar_nll * mask_f).sum() / denom
 
-        nar_logits = self.nar_forward(text_ids, text_mask, audio_ids, audio_mask, stage)
-        target = jnp.take_along_axis(audio_ids, stage[:, None, None], axis=1)[:, 0]
-        logp = jax.nn.log_softmax(nar_logits, axis=-1)
-        nar_nll = -jnp.take_along_axis(logp, jnp.maximum(target, 0)[..., None], axis=-1)[..., 0]
-        nar_loss = (nar_nll * mask_f).sum() / denom
+        if c.n_codebooks > 1:
+            nar_logits = self.nar_forward(text_ids, text_mask, audio_ids, audio_mask, stage)
+            target = jnp.take_along_axis(audio_ids, stage[:, None, None], axis=1)[:, 0]
+            nar_mask = audio_mask.astype(jnp.float32)
+            nar_denom = jnp.maximum(nar_mask.sum(), 1.0)
+            logp = jax.nn.log_softmax(nar_logits, axis=-1)
+            nar_nll = -jnp.take_along_axis(logp, jnp.maximum(target, 0)[..., None], axis=-1)[..., 0]
+            nar_loss = (nar_nll * nar_mask).sum() / nar_denom
+        else:
+            # single codebook: the NAR branch would be a trivial copy task
+            nar_loss = jnp.zeros(())
 
         loss = ar_loss + nar_loss
         acc = (
-            ((jnp.argmax(ar_logits, -1) == a0).astype(jnp.float32) * mask_f).sum() / denom
+            ((jnp.argmax(ar_logits, -1) == a0_ext).astype(jnp.float32) * mask_f).sum() / denom
         )
         return {"loss": loss, "acc": acc, "ar_loss": ar_loss, "nar_loss": nar_loss}
 
@@ -304,12 +331,25 @@ class VALLE(nn.Module):
         )
         return audio
 
-    def infer_nar(self, text_ids, text_mask, audio_ids, audio_mask):
-        """Fill codebooks 1..L-1 greedily, layer by layer."""
+    def infer_nar(self, text_ids, text_mask, audio_ids, audio_mask, prompt_len=None):
+        """Fill codebooks 1..L-1 greedily, layer by layer. The enrolled
+        prompt region (positions < prompt_len) keeps its TRUE codec tokens —
+        overwriting it with predictions would discard the speaker prompt."""
         c = self.cfg
+        b = text_ids.shape[0]
+        ta = audio_ids.shape[2]
+        keep = (
+            jnp.arange(ta)[None, :] < prompt_len[:, None]
+            if prompt_len is not None
+            else jnp.zeros((b, ta), bool)
+        )
         for stage in range(1, c.n_codebooks):
-            stage_arr = jnp.full((text_ids.shape[0],), stage, jnp.int32)
-            logits = self.nar_forward(text_ids, text_mask, audio_ids, audio_mask, stage_arr)
+            stage_arr = jnp.full((b,), stage, jnp.int32)
+            logits = self.nar_forward(
+                text_ids, text_mask, audio_ids, audio_mask, stage_arr, prompt_len
+            )
             pred = jnp.argmax(logits, axis=-1).astype(audio_ids.dtype)
-            audio_ids = audio_ids.at[:, stage].set(pred)
+            audio_ids = audio_ids.at[:, stage].set(
+                jnp.where(keep, audio_ids[:, stage], pred)
+            )
         return audio_ids

@@ -214,7 +214,7 @@ class WavLMSelfAttention(nn.Module):
     cfg: WavLMConfig
 
     @nn.compact
-    def __call__(self, x, key_mask_bias, position_bias):
+    def __call__(self, x, key_mask_bias, position_bias, kv_mask=None):
         c = self.cfg
         b, t, _ = x.shape
         h, hd = c.n_heads, c.d_model // c.n_heads
@@ -255,7 +255,14 @@ class WavLMSelfAttention(nn.Module):
 
         from slam_llm_tpu.models.layers import mha_attention
 
-        out = mha_attention(q, k, v, bias=bias).reshape(b, t, c.d_model)
+        if bias is None:
+            # no additive rel-pos bias to merge: express padding structurally
+            # (kv_mask) so the Pallas flash path stays eligible — the dense
+            # (B,1,T,T) form would force the XLA path and materialize the
+            # full (B,H,T,T) fp32 logits for every layer
+            out = mha_attention(q, k, v, kv_mask=kv_mask).reshape(b, t, c.d_model)
+        else:
+            out = mha_attention(q, k, v, bias=bias).reshape(b, t, c.d_model)
         return dense("out_proj", axes=("heads", "embed"))(out)
 
 
@@ -263,7 +270,7 @@ class WavLMLayer(nn.Module):
     cfg: WavLMConfig
 
     @nn.compact
-    def __call__(self, x, key_mask_bias, position_bias):
+    def __call__(self, x, key_mask_bias, position_bias, kv_mask=None):
         c = self.cfg
         ln = lambda name: LayerNorm(  # noqa: E731
             eps=c.layer_norm_eps, dtype=c.dtype, param_dtype=c.param_dtype, name=name
@@ -282,11 +289,11 @@ class WavLMLayer(nn.Module):
 
         attn = WavLMSelfAttention(c, name="attention")
         if c.do_stable_layer_norm:  # pre-LN (large)
-            x = x + attn(ln("layer_norm")(x), key_mask_bias, position_bias)
+            x = x + attn(ln("layer_norm")(x), key_mask_bias, position_bias, kv_mask)
             x = x + ffn(ln("final_layer_norm")(x))
         else:  # post-LN (base); deep_norm scales the residual (BEATs)
             alpha = (2.0 * c.n_layers) ** 0.25 if c.deep_norm else 1.0
-            x = ln("layer_norm")(x * alpha + attn(x, key_mask_bias, position_bias))
+            x = ln("layer_norm")(x * alpha + attn(x, key_mask_bias, position_bias, kv_mask))
             x = ln("final_layer_norm")(x * alpha + ffn(x))
         return x
 
@@ -324,7 +331,11 @@ class WavLMEncoder(nn.Module):
             h = LayerNorm(eps=c.layer_norm_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="encoder_ln")(h)
 
         key_mask_bias = None
-        if audio_mask is not None:
+        kv_mask = out_mask if audio_mask is not None else None
+        if audio_mask is not None and c.rel_bias:
+            # rel_bias presets merge padding into the additive bias; plain
+            # presets (hubert/emotion2vec) keep the structural kv_mask form
+            # so attention stays on the flash kernel
             mask_b = out_mask[:, None, None, :].astype(bool)
             key_mask_bias = jnp.where(
                 jnp.broadcast_to(mask_b, (b, 1, t, t)), 0.0, NEG_INF
@@ -350,8 +361,8 @@ class WavLMEncoder(nn.Module):
 
         if c.scan_layers:
             def body(block, carry):
-                x, kb, pb = carry
-                return (block(x, kb, pb), kb, pb), None
+                x, kb, pb, km = carry
+                return (block(x, kb, pb, km), kb, pb, km), None
 
             scan = nn.scan(
                 body,
@@ -360,10 +371,12 @@ class WavLMEncoder(nn.Module):
                 length=c.n_layers,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
-            (h, _, _), _ = scan(layer_cls(c, name="layers"), (h, key_mask_bias, position_bias))
+            (h, _, _, _), _ = scan(
+                layer_cls(c, name="layers"), (h, key_mask_bias, position_bias, kv_mask)
+            )
         else:
             for i in range(c.n_layers):
-                h = layer_cls(c, name=f"layers_{i}")(h, key_mask_bias, position_bias)
+                h = layer_cls(c, name=f"layers_{i}")(h, key_mask_bias, position_bias, kv_mask)
 
         if c.do_stable_layer_norm:
             h = LayerNorm(eps=c.layer_norm_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="encoder_ln")(h)

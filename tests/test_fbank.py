@@ -114,3 +114,46 @@ def test_frame_count_formula():
     for n in (400, 560, 16000, 16001):
         got = fb.fbank(np.zeros(n, np.float32)).shape[0]
         assert got == 1 + (n - 400) // 160
+
+
+def test_logfbank_psf_semantics():
+    """python_speech_features parity properties (AV-HuBERT's frontend;
+    the library itself is not installed offline): ceil-framing with zero
+    pad, RECTANGULAR window, 1/NFFT power spectrum, natural log."""
+    import math
+
+    import numpy as np
+
+    from slam_llm_tpu.ops.fbank import _psf_mel_banks, logfbank_psf
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(7000).astype(np.float64) * 1000
+
+    feat = logfbank_psf(x)
+    # frame count: 1 + ceil((N - 400) / 160)
+    assert feat.shape == (1 + math.ceil((7000 - 400) / 160), 26)
+
+    # frame 0 is the raw (preemphasized) signal, NO window applied:
+    pre = np.append(x[0], x[1:] - 0.97 * x[:-1])
+    pspec0 = np.abs(np.fft.rfft(pre[:400], 512)) ** 2 / 512
+    fb = _psf_mel_banks(26, 512, 16000, 0.0, 8000.0)
+    want0 = np.log(np.maximum(pspec0 @ fb.T, np.finfo(np.float64).eps))
+    np.testing.assert_allclose(feat[0], want0, rtol=1e-5)
+
+    # filterbank covers DC (lowfreq=0, unlike kaldi's 20 Hz low cut)
+    assert fb[:, :3].sum() > 0
+
+
+def test_stacked_logfbank_pads_and_normalizes():
+    import numpy as np
+
+    from slam_llm_tpu.models.avhubert import stacked_logfbank
+
+    rng = np.random.default_rng(1)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    feats = stacked_logfbank(wav, stack=4, n_mels=26)
+    # 98 raw frames -> zero-padded to 100 -> 25 stacked (reference zero-pads,
+    # never truncates) and per-frame layer_norm over the 104 dims
+    assert feats.shape == (25, 104)
+    np.testing.assert_allclose(feats.mean(axis=-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(feats.std(axis=-1), 1.0, atol=1e-2)

@@ -202,7 +202,10 @@ class TorchHTSAT(nn.Module):
         cfb = SF // c.freq_ratio
         x = x.reshape(B, C, SF // cfb, cfb, ST)
         x = x.permute(0, 1, 3, 2, 4).contiguous().reshape(B, C, cfb, -1)
+        # reference interpolates fine_grained by 8*patch_stride so it shares
+        # framewise_output's time axis (htsat.py interpolate); nearest-repeat
         fine = torch.mean(x, dim=2).transpose(-2, -1)
+        fine = fine.repeat_interleave(8 * c.patch_stride, dim=1)
         latent = torch.flatten(x, 2).mean(-1)
         xt = self.tscam_conv(x)
         xt = torch.flatten(xt, 2)
