@@ -266,6 +266,7 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
         "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32,
         precision=prec,
     ) * (1.0 / math.sqrt(d))
+    row_live = None
     if bias is None and (kv_mask is not None or causal):
         mask = (
             kv_mask.astype(bool)[:, None, None, :]
@@ -275,6 +276,9 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
         if causal:
             mask = mask & jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)[None, None]
         bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+        # softmax over an all-NEG_INF row is uniform (~mean(V)); define the
+        # output of all-masked query rows as 0, matching the flash kernel
+        row_live = jnp.any(mask, axis=-1)[:, 0]  # (B, Tq) or (B, 1)
     if bias is not None:
         # (B, 1|H, Tq, Tk) -> (B, hkv|1, g|1, Tq, Tk)
         bh = bias.shape[1]
@@ -284,8 +288,10 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
     out = jnp.einsum(
         "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32, precision=prec,
-    )
-    return out.reshape(b, tq, h, d).astype(v.dtype)
+    ).reshape(b, tq, h, d)
+    if row_live is not None:
+        out = out * row_live[:, :, None, None].astype(out.dtype)
+    return out.astype(v.dtype)
 
 
 def make_causal_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

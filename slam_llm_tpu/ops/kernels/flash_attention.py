@@ -121,6 +121,90 @@ def _mask_scores(scores, valid2, groups, fill):
     return jnp.where(valid2[:, None, :], s3, fill).reshape(bq * groups, bk)
 
 
+def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec,
+                   first=False):
+    """One online-softmax step over a folded (BQ*G, BK) tile.
+
+    q2 carries the (log2e-scaled) softmax scale; see ``_fwd_kernel`` for the
+    bf16-chain and exp2-domain rationale.
+
+    ``first=True`` statically specializes the first k-block of a q row,
+    where the carry is the (-inf, 0, 0) init: the running-max merge, the
+    exp2 correction, and the carry rescales are all no-ops there, and the
+    (BQ*G, 1) stat vectors they touch lane-pad 1 -> 128, so each skipped op
+    costs as much VPU time as half a full (BQ*G, BK) tile op. With causal
+    blocks most (kv, qi) rows see only 1-2 k-blocks, so most iterations
+    take this branch. (Only the statically-unrolled wide kernels can use it;
+    the narrow kernels' fori_loop body is shared across iterations.)"""
+    m_prev, l_prev, acc = carry
+    s_ = jax.lax.dot_general(
+        q2, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(exp_dtype)
+    s_ = _mask_scores(s_, valid, groups, neg)
+    m_cur = jnp.max(s_, axis=1, keepdims=True)
+    if first:
+        m_new = m_cur
+        p = jnp.exp2(s_ - m_new)
+        l_new = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+        acc_new = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return m_new, l_new, acc_new
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(s_ - m_new)
+    correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
+    l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    acc_new = acc * correction + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    return m_new, l_new, acc_new
+
+
+def _row_live(m, neg):
+    """(GB, 1) 0/1: did this query row see ANY valid key? A row whose every
+    key is masked never moves the running max off the ``neg`` init sentinel,
+    so its p = exp2(s - m) = 1 for every masked key and the normalized
+    output would be ~mean(V); multiply the accumulator by this instead so
+    all-masked rows output exactly 0 (the XLA path zeroes the same rows).
+    One compare on the (GB, 1) stats + one multiply per q row — off the
+    per-key-block hot path. Compare in f32: Mosaic has no bf16 vector cmpf
+    at the packed (8, 128, 2) layout."""
+    threshold = jnp.asarray(neg, jnp.float32) * 0.5
+    return (m.astype(jnp.float32) > threshold).astype(jnp.float32)
+
+
+def _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal):
+    """block_valid(q0, ki) -> (BQ, BK) bool for the wide kernels.
+
+    Padding-mask broadcasts and causal-diagonal masks are head-independent:
+    build each ONCE for the whole kernel (they were re-broadcast per
+    (kv, qi) — per-block bool tiles measured as real VPU time). Off-diagonal
+    causal blocks reuse the plain padding mask; diagonal tiles are cached by
+    (q0, k_start)."""
+    kvalids = [
+        jnp.broadcast_to(
+            mask_ref[0, :, pl.ds(ki * block_k, block_k)] > 0, (block_q, block_k)
+        )
+        for ki in range(nk)
+    ]
+    diag_cache = {}
+
+    def block_valid(q0, ki):
+        k_start = ki * block_k
+        if not (causal and k_start + block_k > q0):
+            return kvalids[ki]
+        if (q0, k_start) not in diag_cache:
+            diag_cache[(q0, k_start)] = kvalids[ki] & _causal_valid(
+                q0, k_start, block_q, block_k
+            )
+        return diag_cache[(q0, k_start)]
+
+    return block_valid
+
+
 def _kv_head(ref):
     """K/V block -> (Tk, D): native blocks are (1, 1, Tk, D), flat (1, Tk, D)."""
     return ref[0, 0] if ref.ndim == 4 else ref[0]
@@ -280,7 +364,7 @@ def _fwd_kernel(
     neg = exp_dtype(-1e30 if exp_dtype == jnp.float32 else -3e38)
 
     def body(ki, carry):
-        m_prev, l_prev, acc = carry  # (GB,1) exp_dtype, (GB,1) f32, (GB,D) f32
+        # carry: (GB,1) exp_dtype m, (GB,1) f32 l, (GB,D) f32 acc
         k_start = ki * block_k
         k_blk = _kv_slice(k_ref, k_start, block_k)
         if fused_rope:
@@ -295,23 +379,9 @@ def _fwd_kernel(
         )
         if causal:
             valid = valid & _causal_valid(qi * q_block, k_start, bq, block_k)
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(exp_dtype)  # (GB, BK), log2 domain (scale folded into q)
-        s = _mask_scores(s, valid, groups, neg)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp2(s - m_new)
-        correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
-        l_new = l_prev * correction + jnp.sum(
-            p, axis=1, keepdims=True, dtype=jnp.float32
+        return _softmax_block(
+            q, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec
         )
-        acc_new = acc * correction + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        return m_new, l_new, acc_new
 
     m0 = jnp.full((gb, 1), neg, exp_dtype)
     l0 = jnp.zeros((gb, 1), jnp.float32)
@@ -319,7 +389,9 @@ def _fwd_kernel(
     m, l, acc = jax.lax.fori_loop(0, nk_dyn, body, (m0, l0, acc0))
 
     l_safe = jnp.maximum(l, 1e-30)
-    out_ref[0] = (acc / l_safe).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+    out_ref[0] = (
+        (acc / l_safe) * _row_live(m, neg)
+    ).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
     lse_ref[0] = (
         m.astype(jnp.float32) + jnp.log2(l_safe)
     ).reshape(lse_ref.shape[1:]).astype(jnp.float32)
@@ -612,47 +684,6 @@ def _wide_blocks(tq, tk, h, hkv, d, dtype, block_q, block_k, budget=96):
     return base + (False,)
 
 
-def _softmax_block(q2, k_blk, v_blk, valid, carry, groups, exp_dtype, neg, prec,
-                   first=False):
-    """One online-softmax step over a folded (BQ*G, BK) tile.
-
-    q2 carries the (log2e-scaled) softmax scale; see the narrow kernels for
-    the bf16-chain and exp2-domain rationale.
-
-    ``first=True`` statically specializes the first k-block of a q row,
-    where the carry is the (-inf, 0, 0) init: the running-max merge, the
-    exp2 correction, and the carry rescales are all no-ops there, and the
-    (BQ*G, 1) stat vectors they touch lane-pad 1 -> 128, so each skipped op
-    costs as much VPU time as half a full (BQ*G, BK) tile op. With causal
-    blocks most (kv, qi) rows see only 1-2 k-blocks, so most iterations
-    take this branch."""
-    m_prev, l_prev, acc = carry
-    s_ = jax.lax.dot_general(
-        q2, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).astype(exp_dtype)
-    s_ = _mask_scores(s_, valid, groups, neg)
-    m_cur = jnp.max(s_, axis=1, keepdims=True)
-    if first:
-        m_new = m_cur
-        p = jnp.exp2(s_ - m_new)
-        l_new = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-        acc_new = jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        return m_new, l_new, acc_new
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s_ - m_new)
-    correction = jnp.exp2((m_prev - m_new).astype(jnp.float32))
-    l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-    acc_new = acc * correction + jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    return m_new, l_new, acc_new
-
-
 def _fwd_wide_kernel(
     q_ref,  # (1, Tq, H, D)
     k_ref,  # (1, Hkv, Tk, D)
@@ -687,26 +718,7 @@ def _fwd_wide_kernel(
     # -unrolled equivalent at these trip counts (loop-carried VMEM state +
     # control overhead); nq/nk/hkv are all compile-time here and the
     # dispatcher bounds the total unroll count.
-    # padding-mask broadcasts and causal-diagonal masks are head-independent:
-    # build each ONCE for the whole kernel (they were re-broadcast per
-    # (kv, qi) — per-block bool tiles measured as real VPU time)
-    kvalids = [
-        jnp.broadcast_to(
-            mask_ref[0, :, pl.ds(ki * block_k, block_k)] > 0, (block_q, block_k)
-        )
-        for ki in range(nk)
-    ]
-    diag_cache = {}
-
-    def block_valid(q0, ki):
-        k_start = ki * block_k
-        if not (causal and k_start + block_k > q0):
-            return kvalids[ki]
-        if (q0, k_start) not in diag_cache:  # diagonal block only
-            diag_cache[(q0, k_start)] = kvalids[ki] & _causal_valid(
-                q0, k_start, block_q, block_k
-            )
-        return diag_cache[(q0, k_start)]
+    block_valid = _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal)
 
     for kv in range(hkv):  # static H slices
         hs = slice(kv * groups, (kv + 1) * groups)
@@ -746,7 +758,8 @@ def _fwd_wide_kernel(
                 )
             l_safe = jnp.maximum(l, 1e-30)
             out_ref[0, pl.ds(q0, block_q), hs, :] = (
-                (acc / l_safe).reshape(block_q, groups, d).astype(out_ref.dtype)
+                ((acc / l_safe) * _row_live(m, neg))
+                .reshape(block_q, groups, d).astype(out_ref.dtype)
             )
             lse_ref[0, pl.ds(q0, block_q), hs] = (
                 (m.astype(jnp.float32) + jnp.log2(l_safe))
@@ -798,24 +811,7 @@ def _bwd_fused_wide_kernel(
     prec = _dot_precision(q_ref.dtype)
     scale2 = scale * LOG2E
 
-    # head-independent masks: build once for the whole kernel (see forward)
-    kvalids = [
-        jnp.broadcast_to(
-            mask_ref[0, :, pl.ds(ki * block_k, block_k)] > 0, (block_q, block_k)
-        )
-        for ki in range(nk)
-    ]
-    diag_cache = {}
-
-    def block_valid(q0, ki):
-        k_start = ki * block_k
-        if not (causal and k_start + block_k > q0):
-            return kvalids[ki]
-        if (q0, k_start) not in diag_cache:
-            diag_cache[(q0, k_start)] = kvalids[ki] & _causal_valid(
-                q0, k_start, block_q, block_k
-            )
-        return diag_cache[(q0, k_start)]
+    block_valid = _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal)
 
     for kv in range(hkv):
         hs = slice(kv * groups, (kv + 1) * groups)

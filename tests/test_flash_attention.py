@@ -28,13 +28,9 @@ def test_flash_matches_xla(causal, tq, tk):
 
     ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
     got = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
-    valid_q = np.ones((b, tq), bool)
-    if causal:
-        pass  # all query rows have at least themselves (kv row may be masked)
-    # rows whose keys are all masked produce garbage in both impls; compare
-    # only rows with >=1 valid key
+    # all rows compare — all-masked query rows are defined as 0 in both impls
     np.testing.assert_allclose(
-        np.asarray(got)[valid_q], np.asarray(ref)[valid_q], atol=2e-5, rtol=1e-4
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
 
 
@@ -72,24 +68,16 @@ def test_flash_gradients_match(causal, t):
     kv_mask[1, t - 11 :] = 0  # right padding
     kv_mask = jnp.asarray(kv_mask)
 
-    # query rows with ZERO valid keys (left-pad + causal) are degenerate:
-    # both impls emit garbage there by design. Zero their loss contribution so
-    # the comparison is over well-defined gradients only (in real training
-    # those rows are label-masked anyway).
-    mask_np = np.asarray(kv_mask).astype(bool)
-    if causal:
-        any_valid = np.cumsum(mask_np, axis=1) > 0  # (b, t)
-    else:
-        any_valid = np.broadcast_to(mask_np.any(axis=1)[:, None], mask_np.shape)
-    sel = jnp.asarray(any_valid)[:, :, None, None]
+    # query rows with ZERO valid keys (left-pad + causal) output exactly 0 in
+    # both impls, so the full (unmasked) loss is well-defined and comparable
 
     def loss_flash(q, k, v):
         out = flash_attention(q, k, v, kv_mask, causal, None, 128, 128, None, None, True)
-        return jnp.sum((out * sel) ** 2)
+        return jnp.sum(out ** 2)
 
     def loss_xla(q, k, v):
         out = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=causal)
-        return jnp.sum((out * sel) ** 2)
+        return jnp.sum(out ** 2)
 
     gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
@@ -122,6 +110,45 @@ def test_flash_gqa_matches_xla(causal):
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("h,hkv", [(4, 4), (6, 3)])  # wide kernel / narrow flat
+def test_flash_all_masked_rows_zero(h, hkv):
+    """A query row whose every key is masked outputs EXACTLY 0 (known-gap #4:
+    the online-softmax max used to stay at the init sentinel, making p=1 for
+    every masked key and the output ~mean(V)). Covers both forward kernels,
+    the XLA path, and the backward (finite grads, zero into dead rows)."""
+    b, t, d = 2, 128, 64
+    q = _rand((b, t, h, d), 50)
+    k = _rand((b, t, hkv, d), 51)
+    v = _rand((b, t, hkv, d), 52)
+    kv_mask = np.ones((b, t), np.int32)
+    kv_mask[1, :] = 0  # entire batch row masked
+    kv_mask = jnp.asarray(kv_mask)
+
+    out = flash_attention(q, k, v, kv_mask, False, None, 128, 128, None, None, True)
+    np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+    ref = _xla_attention(q, k, v, None, kv_mask=kv_mask, causal=False)
+    np.testing.assert_array_equal(np.asarray(ref)[1], 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    # causal + left padding: query rows before the first valid key are dead
+    kv_mask2 = np.ones((b, t), np.int32)
+    kv_mask2[0, :40] = 0
+    kv_mask2 = jnp.asarray(kv_mask2)
+    out2 = flash_attention(q, k, v, kv_mask2, True, None, 128, 128, None, None, True)
+    np.testing.assert_array_equal(np.asarray(out2)[0, :40], 0.0)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, kv_mask, False, None, 128, 128, None, None, True)
+        return jnp.sum(o ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_array_equal(np.asarray(gq)[1], 0.0)
+    np.testing.assert_array_equal(np.asarray(gk)[1], 0.0)
+    np.testing.assert_array_equal(np.asarray(gv)[1], 0.0)
 
 
 def test_llm_uses_structured_path_consistently():
