@@ -22,6 +22,8 @@ class VallexDatasetJsonl:
         self.tokenizer = tokenizer
         self.split = split
         self.n_codebooks = getattr(dataset_config, "code_layer", 8)
+        tv = getattr(dataset_config, "text_vocabsize", -1)
+        self.text_vocab = tv if tv and tv > 0 else 512  # VallexConfig default
         self.seed = getattr(dataset_config, "seed", 0)
         import threading
 
@@ -43,12 +45,19 @@ class VallexDatasetJsonl:
         return len(self.data_list)
 
     def _phoneme_ids(self, item) -> np.ndarray:
+        # ids are clamped into the MODEL's phoneme vocab: an out-of-range id
+        # is UB in a TPU gather and a NaN-fill on CPU (jnp.take fill mode) —
+        # configure dataset_config.text_vocabsize to the VallexConfig
+        # text_vocab (512 for the base preset)
+        vocab = self.text_vocab
         ph = item["phonemes"]
         if isinstance(ph, str):
             if self.tokenizer is not None:
-                return np.asarray(self.tokenizer.encode(ph), np.int64)
-            return np.asarray([ord(c) % 512 for c in ph], np.int64)
-        return np.asarray(ph, np.int64)
+                ids = np.asarray(self.tokenizer.encode(ph), np.int64)
+            else:
+                ids = np.asarray([ord(c) for c in ph], np.int64)
+            return ids % vocab
+        return np.asarray(ph, np.int64) % vocab
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         item = self.data_list[index]

@@ -276,10 +276,13 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
         if causal:
             mask = mask & jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)[None, None]
         bias = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
-        # softmax over an all-NEG_INF row is uniform (~mean(V)); define the
-        # output of all-masked query rows as 0, matching the flash kernel
-        row_live = jnp.any(mask, axis=-1)[:, 0]  # (B, Tq) or (B, 1)
     if bias is not None:
+        # softmax over an all-NEG_INF row is uniform (~mean(V)); define the
+        # output of all-masked query rows as 0, matching the flash kernel.
+        # Derived from the FINAL bias so dense callers (make_padding_bias,
+        # WavLM rel-pos bias over NEG_INF padding) get the same convention:
+        # a finite rel-pos term added to NEG_INF stays < NEG_INF/2.
+        row_live = jnp.any(bias > NEG_INF * 0.5, axis=-1)  # (B, 1|H, Tq)
         # (B, 1|H, Tq, Tk) -> (B, hkv|1, g|1, Tq, Tk)
         bh = bias.shape[1]
         bias5 = bias.reshape(b, hkv, g, tq, tk) if bh == h else bias[:, :, None]
@@ -290,7 +293,8 @@ def _xla_attention(q, k, v, bias, kv_mask=None, causal=False):
         preferred_element_type=jnp.float32, precision=prec,
     ).reshape(b, tq, h, d)
     if row_live is not None:
-        out = out * row_live[:, :, None, None].astype(out.dtype)
+        # (B, 1|H, Tq) -> (B, Tq, 1|H, 1) to match out's (B, Tq, H, D)
+        out = out * row_live.transpose(0, 2, 1)[..., None].astype(out.dtype)
     return out.astype(v.dtype)
 
 

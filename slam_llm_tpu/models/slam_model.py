@@ -359,6 +359,23 @@ def model_factory(train_config, model_config, **kwargs):
     from slam_llm_tpu.data.tokenizer import load_tokenizer
 
     tokenizer = load_tokenizer(model_config.llm_path)
+    if model_config.llm_name.startswith("vallex"):
+        # VALL-E-X IS the model when llm_name=vallex (reference
+        # models/slam_model.py:135-141): its own AR+NAR stacks over codec
+        # tokens, no encoder/projector. It exposes the same trainer surface
+        # (init_all(batch) / __call__(batch) -> {"loss", "acc"}).
+        from slam_llm_tpu.models.vallex import VALLE, VallexConfig
+
+        presets = {
+            "vallex": VallexConfig.base_24l,
+            "vallex-tiny-test": VallexConfig.tiny_test,
+        }
+        if model_config.llm_name not in presets:
+            raise ValueError(
+                f"unknown vallex preset {model_config.llm_name!r}; "
+                f"presets: {sorted(presets)}"
+            )
+        return VALLE(presets[model_config.llm_name]()), tokenizer
     cfg = build_slam_config(train_config, model_config)
     if tokenizer.vocab_size > cfg.llm.vocab_size:
         # grow the embedding/head to cover the tokenizer (OOB token ids are

@@ -176,7 +176,7 @@ def _row_live(m, neg):
     return (m.astype(jnp.float32) > threshold).astype(jnp.float32)
 
 
-def _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal):
+def _precomputed_block_valids(mask_ref, nk, *, block_q, block_k, causal):
     """block_valid(q0, ki) -> (BQ, BK) bool for the wide kernels.
 
     Padding-mask broadcasts and causal-diagonal masks are head-independent:
@@ -392,6 +392,11 @@ def _fwd_kernel(
     out_ref[0] = (
         (acc / l_safe) * _row_live(m, neg)
     ).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+    # NOTE: all-masked rows leave m at the ``neg`` sentinel, so their lse is
+    # ~neg + log2(1e-30) — garbage by design. Every backward kernel re-masks
+    # p with the validity mask so it never reads these; any FUTURE consumer
+    # of the saved lse residual (entropy logging, distillation) must mask
+    # dead rows (e.g. with _row_live) before use.
     lse_ref[0] = (
         m.astype(jnp.float32) + jnp.log2(l_safe)
     ).reshape(lse_ref.shape[1:]).astype(jnp.float32)
@@ -718,7 +723,7 @@ def _fwd_wide_kernel(
     # -unrolled equivalent at these trip counts (loop-carried VMEM state +
     # control overhead); nq/nk/hkv are all compile-time here and the
     # dispatcher bounds the total unroll count.
-    block_valid = _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal)
+    block_valid = _precomputed_block_valids(mask_ref, nk, block_q=block_q, block_k=block_k, causal=causal)
 
     for kv in range(hkv):  # static H slices
         hs = slice(kv * groups, (kv + 1) * groups)
@@ -761,6 +766,8 @@ def _fwd_wide_kernel(
                 ((acc / l_safe) * _row_live(m, neg))
                 .reshape(block_q, groups, d).astype(out_ref.dtype)
             )
+            # dead rows carry the ``neg`` sentinel in lse (see the flat
+            # kernel's note at its lse write): consumers must mask.
             lse_ref[0, pl.ds(q0, block_q), hs] = (
                 (m.astype(jnp.float32) + jnp.log2(l_safe))
                 .reshape(block_q, groups)
@@ -811,7 +818,7 @@ def _bwd_fused_wide_kernel(
     prec = _dot_precision(q_ref.dtype)
     scale2 = scale * LOG2E
 
-    block_valid = _precomputed_block_valids(mask_ref, nk, block_k, block_q, causal)
+    block_valid = _precomputed_block_valids(mask_ref, nk, block_q=block_q, block_k=block_k, causal=causal)
 
     for kv in range(hkv):
         hs = slice(kv * groups, (kv + 1) * groups)

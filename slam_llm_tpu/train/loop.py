@@ -35,7 +35,12 @@ def evaluate(trainer: Trainer, state: TrainState, eval_loader) -> Dict[str, floa
             m = trainer.eval_step(state, trainer.put_batch(batch))
             losses.append(float(m["loss"]))
             accs.append(float(m["acc"]))
-            weights.append(len(batch["input_ids"]))
+            # batch size for loss weighting: not every recipe batches on
+            # input_ids (vallex batches text_ids/audio_ids)
+            first = next(
+                v for v in batch.values() if isinstance(v, np.ndarray) and v.ndim
+            )
+            weights.append(len(first))
     if not losses:
         return {"loss": float("inf"), "acc": 0.0, "ppl": float("inf")}
     w = np.asarray(weights, np.float64)
