@@ -501,6 +501,43 @@ class CausalLM(nn.Module):
     ) -> jnp.ndarray:
         return self._head(self.trunk(inputs_embeds, attention_mask, positions, deterministic))
 
+    def loss_and_accuracy(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, T, D)
+        attention_mask: jnp.ndarray,  # (B, T)
+        labels: jnp.ndarray,  # (B, T) with -100 ignore positions
+        deterministic: bool = True,
+        head_needs_grad: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Shifted CE + next-token accuracy WITHOUT materializing logits.
+
+        Fuses the lm_head projection into a chunked CE (ops/fused_ce.py) —
+        the (B, T, V) fp32 logits of the unfused path are 1.4+ GB at
+        flagship shapes and are what OOMs batch 32 on a 16 GB chip. Numerics
+        match ``__call__`` + ``causal_lm_loss_and_accuracy`` up to bf16
+        rounding of the head matmul (the fused path is the more precise one:
+        fp32 accumulation end-to-end).
+        """
+        from slam_llm_tpu.ops.fused_ce import fused_linear_ce
+
+        x = self.trunk(inputs_embeds, attention_mask, None, deterministic)
+        if self.cfg.tied_embeddings:
+            kernel = self.embed_tokens.embedding  # (V, D)
+            transpose = True
+        else:
+            # .variables returns the RAW stored leaf, which is a
+            # LogicallyPartitioned box when params were initialized boxed
+            kernel = nn.meta.unbox(self.lm_head.variables["params"]["kernel"])  # (D, V)
+            transpose = False
+        return fused_linear_ce(
+            x[:, :-1],
+            kernel,
+            labels[:, 1:],
+            transpose_kernel=transpose,
+            kernel_needs_grad=head_needs_grad,
+            compute_dtype=self.cfg.dtype,
+        )
+
     def prefill(
         self,
         inputs_embeds: jnp.ndarray,  # (B, T, D) — prompt (audio spliced in)

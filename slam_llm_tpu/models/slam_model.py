@@ -197,12 +197,22 @@ class SLAMModel(nn.Module):
         return inputs_embeds, batch["attention_mask"]
 
     def __call__(
-        self, batch: Dict[str, jnp.ndarray], deterministic: bool = True
+        self, batch: Dict[str, jnp.ndarray], deterministic: bool = True,
+        return_logits: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         inputs_embeds, attention_mask = self.forward_embeds(batch)
-        logits = self.llm(inputs_embeds, attention_mask, deterministic=deterministic)
-        loss, acc = causal_lm_loss_and_accuracy(logits, batch["labels"])
-        return {"loss": loss, "acc": acc, "logits": logits}
+        if return_logits:
+            logits = self.llm(inputs_embeds, attention_mask, deterministic=deterministic)
+            loss, acc = causal_lm_loss_and_accuracy(logits, batch["labels"])
+            return {"loss": loss, "acc": acc, "logits": logits}
+        # train/eval path: head fused into a chunked CE — never materializes
+        # the (B, T, V) logits (ops/fused_ce.py)
+        loss, acc = self.llm.loss_and_accuracy(
+            inputs_embeds, attention_mask, batch["labels"],
+            deterministic=deterministic,
+            head_needs_grad=not self.cfg.freeze_llm,
+        )
+        return {"loss": loss, "acc": acc}
 
     # ---- decode entry points (used by inference/generate.py) ----
 

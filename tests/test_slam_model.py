@@ -111,11 +111,24 @@ def slam_setup():
 
 def test_slam_forward(slam_setup):
     cfg, model, params, batch = slam_setup
-    out = model.apply(params, batch)
+    out = model.apply(params, batch, return_logits=True)
     assert out["loss"].shape == ()
     assert jnp.isfinite(out["loss"])
     assert 0.0 <= float(out["acc"]) <= 1.0
     assert out["logits"].shape == (2, 24, cfg.llm.vocab_size)
+
+
+def test_slam_fused_loss_matches_logits_path(slam_setup):
+    """The fused chunked-CE path (default __call__) must agree with the
+    explicit logits path up to bf16 head-matmul rounding."""
+    cfg, model, params, batch = slam_setup
+    ref = model.apply(params, batch, return_logits=True)
+    fused = model.apply(params, batch)
+    assert "logits" not in fused
+    np.testing.assert_allclose(
+        float(fused["loss"]), float(ref["loss"]), rtol=2e-2
+    )
+    np.testing.assert_allclose(float(fused["acc"]), float(ref["acc"]), atol=0.05)
 
 
 def test_slam_inference_embeds(slam_setup):
