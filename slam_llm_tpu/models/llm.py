@@ -79,6 +79,10 @@ class LLMConfig:
     # v5e at flagship shapes (34.9 -> 49 utt/s/chip round 2); see
     # _remat_policy below for the alternatives.
     remat_policy: str = "dots_flash_saveable"
+    # fused-CE time-chunk: each chunk materializes a (B, chunk, V) fp32
+    # logits tile (ops/fused_ce.py); bigger chunks = fewer, larger head
+    # matmuls at more peak memory
+    ce_chunk: int = 64
 
     @staticmethod
     def tinyllama_1_1b() -> "LLMConfig":
@@ -533,6 +537,7 @@ class CausalLM(nn.Module):
             x[:, :-1],
             kernel,
             labels[:, 1:],
+            chunk=self.cfg.ce_chunk,
             transpose_kernel=transpose,
             kernel_needs_grad=head_needs_grad,
             compute_dtype=self.cfg.dtype,

@@ -10,11 +10,11 @@ same published formulas:
   * CIDEr-D (Vedantam et al. 2015: tf-idf n-gram cosine, length gaussian
     penalty sigma=6, n=1..4, *10 scaling);
   * METEOR-lite: unigram alignment F-mean (alpha=0.9) with fragmentation
-    penalty (gamma=0.5, beta=3) over exact + suffix-stem matches — the full
-    METEOR additionally uses WordNet synonyms (Java + data files, not
-    available offline), so scores are close-but-not-identical; SPICE (scene
-    graphs via a Java parser) is likewise not reproduced — SPIDEr is
-    reported as CIDEr-only when SPICE is unavailable.
+    penalty (gamma=0.5, beta=3) over exact + suffix-stem + synonym-table
+    matches — the full METEOR's WordNet synonym/paraphrase stages use data
+    files not available offline, so scores are close-but-not-identical;
+  * SPICE via the in-tree scene-graph scorer (utils/spice.py), making
+    SPIDEr = (CIDEr + SPICE)/2 computable offline.
 """
 
 from __future__ import annotations
@@ -190,17 +190,29 @@ def meteor_lite(
         best = 0.0
         for ref in refs:
             r = _tokenize(ref)
-            # greedy one-to-one alignment: exact first, then stems
+            # greedy one-to-one alignment, METEOR module order: exact,
+            # stem, synonym (utils/spice.py's table standing in for WordNet)
+            from slam_llm_tpu.utils.spice import _match as _syn_match
+
+            def _exact(w, rw):
+                return w == rw
+
+            def _stem_eq(w, rw):
+                return _stem(w) == _stem(rw)
+
+            def _syn_eq(w, rw):
+                return _syn_match(w, rw)
+
             matches = []  # (c_idx, r_idx)
             used_r = set()
-            for phase in (lambda w: w, _stem):
+            for same in (_exact, _stem_eq, _syn_eq):
                 for i, w in enumerate(c):
                     if any(m[0] == i for m in matches):
                         continue
                     for j, rw in enumerate(r):
                         if j in used_r:
                             continue
-                        if phase(w) == phase(rw):
+                        if same(w, rw):
                             matches.append((i, j))
                             used_r.add(j)
                             break
@@ -274,10 +286,11 @@ def compute_caption_metrics(
 ) -> Dict[str, float]:
     """Standard AAC metric bundle.
 
-    SPICE needs the Java scene-graph parser (reference shells out to
-    aac-metrics); pass ``spice_fn(candidates, references) -> float`` to plug
-    an external scorer in — SPIDEr is then the true (CIDEr+SPICE)/2,
-    otherwise CIDEr-only is reported and labeled as such. FENSE runs when an
+    SPICE defaults to the in-tree scene-graph scorer (utils/spice.py — the
+    Java/CoreNLP/WordNet stack rebuilt offline); pass
+    ``spice_fn(candidates, references) -> float`` to substitute an external
+    scorer. SPIDEr = (CIDEr + SPICE)/2, the headline AAC metric
+    (reference examples/slam_aac/README.md:24-25). FENSE runs when an
     embedding callable is supplied (see ``fense``)."""
     b = bleu(candidates, references)
     cider = cider_d(candidates, references)
@@ -288,13 +301,11 @@ def compute_caption_metrics(
         "meteor": round(meteor_lite(candidates, references), 4),
         "cider": round(cider, 4),
     }
-    if spice_fn is not None:
-        spice = float(spice_fn(candidates, references))
-        out["spice"] = round(spice, 4)
-        out["spider"] = round((cider + spice) / 2, 4)
-    else:
-        # SPIDEr = (CIDEr + SPICE)/2; SPICE needs a Java parser -> omitted
-        out["spider_cider_only"] = round(cider, 4)
+    if spice_fn is None:
+        from slam_llm_tpu.utils.spice import spice as spice_fn
+    spice = float(spice_fn(candidates, references))
+    out["spice"] = round(spice, 4)
+    out["spider"] = round((cider + spice) / 2, 4)
     if fense_embed_fn is not None:
         out["fense"] = round(
             fense(candidates, references, fense_embed_fn, fense_fluency_fn), 4
