@@ -103,22 +103,53 @@ def bench_input_pipeline():
         prefetch = 2
 
     ds = SpeechDatasetJsonl(C(), ByteTokenizer(), "train")
-    loader = build_dataloader(ds, batch_size=B, num_workers=2, prefetch=2)
-    # warm one pass (thread spin-up), then time a full epoch
-    for _ in loader:
-        pass
+
+    def _epoch_rate(worker_type: str, workers: int) -> float:
+        loader = build_dataloader(
+            ds, batch_size=B, num_workers=workers, prefetch=2,
+            worker_type=worker_type,
+        )
+        for _ in loader:  # warm (pool spin-up, page cache)
+            pass
+        t0 = time.perf_counter()
+        seen = 0
+        for batch in loader:
+            seen += batch["input_ids"].shape[0]
+        return seen / (time.perf_counter() - t0)
+
+    # inline per-core rate (no pool): the unit of the capacity model.
+    # Warm one pass first — the first FFT/page-cache touch is ~17x slower
+    # and would understate the steady-state rate
+    for i in range(len(ds)):
+        _ = ds[i]
     t0 = time.perf_counter()
-    seen = 0
-    for batch in loader:
-        seen += batch["input_ids"].shape[0]
-    dt = time.perf_counter() - t0
+    n_items = 0
+    while time.perf_counter() - t0 < 1.5:
+        _ = ds[n_items % len(ds)]
+        n_items += 1
+    single_rate = n_items / (time.perf_counter() - t0)
+
     import os
 
     cores = os.cpu_count() or 1
+    # thread counts beyond the core count only measure GIL/pool overhead on
+    # this 1-core CI host, but 8/16-worker rates are what a real 100-core
+    # v5e host runs at — measure them anyway so regressions show up
+    rates = {f"thread@{w}": _epoch_rate("thread", w) for w in (2, 8, 16)}
+    rates[f"process@{min(8, max(2, cores))}"] = _epoch_rate("process", min(8, max(2, cores)))
+    demand = 240.0  # 4 chips x ~60 utt/s per v5e-4 host
     print(
-        f"# input pipeline: {seen/dt:.1f} utt/s host-side on {cores} core(s), 2 workers "
-        f"(jsonl read + 30s whisper mel + bucketed collation; scales ~linearly with "
-        f"workers x cores — a real TPU-VM host has ~100)",
+        f"# input pipeline ({cores}-core host): inline {single_rate:.1f} utt/s/core; "
+        + ", ".join(f"{k} {v:.1f}" for k, v in rates.items())
+        + " utt/s (jsonl read + 30s whisper mel + bucketed collation)",
+        file=sys.stderr,
+    )
+    print(
+        f"# host capacity vs 4-chip demand ({demand:.0f} utt/s): needs "
+        f"{demand/single_rate:.1f} busy cores; thread workers depend on numpy "
+        f"releasing the GIL during mel (holds on wav decode/tokenize/collate) — "
+        f"set dataset_config.worker_type=process on multi-chip hosts to scale "
+        f"with cores unconditionally (a v5e-4 host has ~100)",
         file=sys.stderr,
     )
 

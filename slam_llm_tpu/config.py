@@ -211,6 +211,9 @@ class DataConfig:
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])
     num_workers: int = 2
     prefetch: int = 2
+    # "thread" (zero-copy handoff) or "process" (GIL-free scaling for the
+    # ~240 utt/s a 4-chip v5e host must feed; see data/loader.py)
+    worker_type: str = "thread"
     shuffle_buffer: int = 2048
 
 

@@ -7,18 +7,38 @@ length-homogeneous — which with bucketed collation (speech_dataset.py)
 minimizes padding waste AND the number of distinct compiled shapes.
 
 ``PrefetchLoader`` overlaps host work (wav decode, mel, tokenize, collate)
-with device steps via a small thread pool + bounded queue, the host half of
-the double-buffering the TPU needs to stay busy.
+with device steps via a worker pool + bounded queue, the host half of the
+double-buffering the TPU needs to stay busy. Workers are threads by default
+(zero-copy handoff; fine while numpy's FFT/matmul release the GIL) or
+processes (``worker_type="process"``) for feeding rates where the
+GIL-holding share of per-utterance work — wav decode, tokenization, python
+collation — caps thread scaling; a v5e host must feed ~240 utt/s for its 4
+chips (replaces the reference's torch DataLoader worker processes).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# process-worker state: installed once per worker via the pool initializer
+# (fork start method: the dataset is inherited copy-on-write, the initargs
+# pickle is paid once per worker, not per batch)
+_WORKER_STATE: Optional[tuple] = None
+
+
+def _process_worker_init(dataset, collator):
+    global _WORKER_STATE
+    _WORKER_STATE = (dataset, collator)
+
+
+def _process_worker_collate(idxs):
+    dataset, collator = _WORKER_STATE
+    return collator([dataset[j] for j in idxs])
 
 
 class LengthBasedBatchSampler:
@@ -127,12 +147,33 @@ class PrefetchLoader:
         collator: Optional[Callable] = None,
         num_workers: int = 2,
         prefetch: int = 2,
+        worker_type: str = "thread",  # "thread" | "process"
     ):
         self.dataset = dataset
         self.sampler = sampler
         self.collator = collator or dataset.collator
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
+        self.worker_type = worker_type
+
+    def _make_pool(self):
+        if self.worker_type == "process":
+            import multiprocessing as mp
+
+            return ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset, self.collator),
+            )
+        return ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _submit(self, pool, idxs):
+        if self.worker_type == "process":
+            return pool.submit(_process_worker_collate, idxs)
+        return pool.submit(lambda ii: self.collator([self.dataset[j] for j in ii]), idxs)
 
     def __len__(self):
         return len(self.sampler)
@@ -152,21 +193,18 @@ class PrefetchLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                with self._make_pool() as pool:
                     # pipeline: submit loads for upcoming batches, keep order
                     pending = []
                     it = iter(self.sampler)
-                    depth = self.prefetch + 1
+                    depth = max(self.prefetch + 1, self.num_workers)
 
                     def submit_next():
                         try:
                             idxs = next(it)
                         except StopIteration:
                             return False
-                        fut = pool.submit(
-                            lambda ii: self.collator([self.dataset[j] for j in ii]), idxs
-                        )
-                        pending.append(fut)
+                        pending.append(self._submit(pool, idxs))
                         return True
 
                     for _ in range(depth):
@@ -212,6 +250,7 @@ def build_dataloader(
     rank: int = 0,
     seed: int = 0,
     ragged_tail: str = "drop",  # "wrap" for decode: cover every batch
+    worker_type: str = "thread",
 ) -> PrefetchLoader:
     lengths = [dataset.sort_key(i) for i in range(len(dataset))]
     if num_replicas > 1:
@@ -224,4 +263,7 @@ def build_dataloader(
         sampler = LengthBasedBatchSampler(
             lengths, batch_size, drop_last=drop_last, shuffle=shuffle, seed=seed
         )
-    return PrefetchLoader(dataset, sampler, num_workers=num_workers, prefetch=prefetch)
+    return PrefetchLoader(
+        dataset, sampler, num_workers=num_workers, prefetch=prefetch,
+        worker_type=worker_type,
+    )

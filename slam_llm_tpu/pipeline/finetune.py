@@ -64,7 +64,7 @@ def main(cfg: RunConfig):
     train_loader = build_dataloader(
         train_ds, tc.batch_size_training, shuffle=True,
         num_workers=cfg.dataset_config.num_workers, prefetch=cfg.dataset_config.prefetch,
-        seed=tc.seed,
+        seed=tc.seed, worker_type=cfg.dataset_config.worker_type,
     )
     eval_loader = (
         build_dataloader(eval_ds, tc.val_batch_size, shuffle=False, drop_last=False)

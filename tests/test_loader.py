@@ -118,3 +118,35 @@ def test_distributed_sampler_wrap_covers_all_batches():
         all_idx.update(i for b in batches for i in b)
     assert len(set(counts)) == 1
     assert all_idx == set(range(44))  # every utterance decoded by some rank
+
+
+def test_prefetch_process_workers_match_thread_workers():
+    """worker_type="process" must yield the same batches in the same order
+    as the thread pool (fork workers, initializer-installed dataset)."""
+    ds = _ListDataset(12)
+    sampler = LengthBasedBatchSampler(
+        [ds.sort_key(i) for i in range(len(ds))], 3,
+        drop_last=False, shuffle=False, seed=0,
+    )
+    thread = list(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2))
+    proc = list(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2,
+                               worker_type="process"))
+    assert len(thread) == len(proc) == 4
+    for a, b in zip(thread, proc):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_prefetch_process_worker_error_surfaces():
+    class _Boom(_ListDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("boom")
+            return super().__getitem__(i)
+
+    ds = _Boom(8)
+    sampler = LengthBasedBatchSampler(
+        [i for i in range(8)], 4, drop_last=False, shuffle=False, seed=0
+    )
+    loader = PrefetchLoader(ds, sampler, num_workers=2, worker_type="process")
+    with pytest.raises(Exception, match="boom"):
+        list(loader)
