@@ -191,8 +191,14 @@ def meteor_lite(
         for ref in refs:
             r = _tokenize(ref)
             # greedy one-to-one alignment, METEOR module order: exact,
-            # stem, synonym (utils/spice.py's table standing in for WordNet)
+            # stem, synonym. The synonym module (utils/spice.py's table
+            # standing in for WordNet) compares LEMMAS, so inflected forms
+            # reach their class ("speaking" ~ "talks"); the lemma comparison
+            # itself also catches doubling-stems the suffix stemmer misses
+            # ("dripping" ~ "drips"). Residual delta vs nltk's METEOR is
+            # quantified in tests/test_meteor_delta.py.
             from slam_llm_tpu.utils.spice import _match as _syn_match
+            from slam_llm_tpu.utils.spice import lemma as _lemma
 
             def _exact(w, rw):
                 return w == rw
@@ -201,7 +207,8 @@ def meteor_lite(
                 return _stem(w) == _stem(rw)
 
             def _syn_eq(w, rw):
-                return _syn_match(w, rw)
+                lw, lr = _lemma(w), _lemma(rw)
+                return lw == lr or _syn_match(lw, lr)
 
             matches = []  # (c_idx, r_idx)
             used_r = set()
