@@ -21,6 +21,64 @@ Dtype = Any
 default_kernel_init = nn.initializers.lecun_normal()
 
 
+@jax.custom_vjp
+def _pretransposed_dot(x, w, wt):
+    """``x @ w`` whose backward contracts a PRE-TRANSPOSED copy ``wt == w.T``.
+
+    XLA derives ``dx = dy @ w.T`` by contracting w's MINOR dim — measured
+    145–185 TF/s on v5e for the flagship decoder's seven dense backward dots
+    vs 172–190 for the forward dots whose contraction runs over the sublane
+    dim (PERF.md per-op table). Feeding the backward an explicitly stored
+    transpose gives the dx dot forward-identical geometry: ``dy`` contracts
+    ``wt``'s MAJOR dim. Costs one extra frozen copy of the weights in HBM
+    (bf16: ~2 GB for a 1.1B base) — only worth it for FROZEN bases, where the
+    copy is write-once (Trainer.{create_state,state_from_params} refresh
+    ``kernel_t`` from ``kernel`` so loaders can't desynchronize them).
+
+    The bwd also returns an exact ``dw = x^T @ dy`` so the op stays correct
+    if a caller ever differentiates w.r.t. ``w`` (DCE removes it for frozen
+    bases); the ``wt`` cotangent is zero BY CONSTRUCTION — training through
+    ``wt`` would silently desynchronize it, hence the freeze-guard in
+    ``train.state.build_trainer``.
+    """
+    return jnp.dot(x, w)
+
+
+def _pretransposed_dot_fwd(x, w, wt):
+    return jnp.dot(x, w), (x, w, wt)
+
+
+def _pretransposed_dot_bwd(res, dy):
+    x, w, wt = res
+    dx = jnp.dot(dy, wt)
+    batch_axes = tuple(range(x.ndim - 1))
+    dw = jnp.tensordot(x, dy, axes=(batch_axes, batch_axes)).astype(w.dtype)
+    return dx, dw, jnp.zeros_like(wt)
+
+
+_pretransposed_dot.defvjp(_pretransposed_dot_fwd, _pretransposed_dot_bwd)
+
+
+def refresh_pretransposed(params: Any) -> Any:
+    """Recompute every ``kernel_t`` leaf as the transpose of its sibling
+    ``kernel`` (last two axes — scan-stacked kernels keep their layer axis).
+
+    MUST run whenever params come from anywhere but ``module.init`` (HF
+    loaders, Orbax restores of foreign trees, converters): a stale
+    ``kernel_t`` makes ``_pretransposed_dot`` backwards silently wrong."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        if "kernel_t" in out and "kernel" in out:
+            k = out["kernel"]
+            out["kernel_t"] = jnp.swapaxes(k, -1, -2).astype(out["kernel_t"].dtype)
+        return out
+
+    return walk(params)
+
+
 class DenseGeneralLora(nn.Module):
     """Dense layer with optional fused LoRA branch.
 
@@ -39,6 +97,11 @@ class DenseGeneralLora(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
+    # FROZEN-base speed knob: keep a write-once transposed copy of the kernel
+    # so the backward dx dot gets forward-identical MXU tiling (see
+    # _pretransposed_dot). Requires the base kernel frozen — enforced by
+    # train.state.build_trainer.
+    pretranspose_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -49,7 +112,22 @@ class DenseGeneralLora(nn.Module):
             (in_features, self.features),
             self.param_dtype,
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.pretranspose_bwd:
+            # init value is an independent random draw — Trainer refreshes it
+            # to kernel.T at state build (refresh_pretransposed)
+            kernel_t = self.param(
+                "kernel_t",
+                nn.with_logical_partitioning(
+                    self.kernel_init, tuple(reversed(self.kernel_axes))
+                ),
+                (self.features, in_features),
+                self.param_dtype,
+            )
+            y = _pretransposed_dot(
+                x.astype(self.dtype), kernel.astype(self.dtype), kernel_t.astype(self.dtype)
+            )
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -65,6 +65,12 @@ class LLMConfig:
     lora_targets: Tuple[str, ...] = ("q_proj", "v_proj")
     prefix_tokens: int = 30  # prefix-tuning virtual KV slots per layer
     adaption_prompt_len: int = 10  # llama-adapter prompt tokens per layer
+    # frozen-base backward speedup: store a write-once transposed copy of
+    # every decoder dense kernel so backward dx dots get forward-identical
+    # MXU tiling (layers._pretransposed_dot; PERF.md "dy @ Wt" lever). Costs
+    # one extra bf16 weight copy in HBM; requires freeze_llm (enforced by
+    # train.state.build_trainer).
+    bwd_pretranspose: bool = False
     # compile strategy
     scan_layers: bool = True
     # lax.scan unroll factor for the layer loop: >1 trades compile time for
@@ -142,6 +148,7 @@ class Attention(nn.Module):
             lora_rank=rank,
             lora_alpha=c.lora_alpha,
             lora_dropout=c.lora_dropout,
+            pretranspose_bwd=c.bwd_pretranspose,
             name=name,
         )
 
@@ -298,6 +305,7 @@ class MLP(nn.Module):
         dense = partial(
             DenseGeneralLora, dtype=c.dtype, param_dtype=c.param_dtype,
             lora_alpha=c.lora_alpha, lora_dropout=c.lora_dropout,
+            pretranspose_bwd=c.bwd_pretranspose,
         )
         gate = dense(
             features=c.ffn_dim, kernel_axes=("embed", "mlp"),
@@ -312,10 +320,13 @@ class MLP(nn.Module):
         gate = jax.ad_checkpoint.checkpoint_name(gate, "mlp_gate")
         up = jax.ad_checkpoint.checkpoint_name(up, "mlp_up")
         h = nn.silu(gate) * up
-        return dense(
+        down = dense(
             features=c.d_model, kernel_axes=("mlp", "embed"),
             lora_rank=c.lora_rank if "down_proj" in c.lora_targets else 0, name="down_proj",
         )(h, deterministic)
+        # named so the save policies keep treating it like the dot output it
+        # is even when bwd_pretranspose hides the dot inside a custom_vjp
+        return jax.ad_checkpoint.checkpoint_name(down, "mlp_down")
 
 
 class DecoderLayer(nn.Module):
@@ -409,9 +420,17 @@ def _remat_policy(name: str):
         # with NO forward recompute. Memory: +(B,T,H,D) bf16 + (B,H,T) f32
         # per layer — ~30 MB/layer at flagship shapes, far below the
         # (B,H,T,T) logits that dots_saveable alone would pin on the XLA path.
+        # The named dense outputs are a no-op addition when bwd_pretranspose
+        # is off (they ARE dot outputs, already saved); with it on, the dots
+        # hide inside custom_vjp calls that dots_saveable can't see, and the
+        # names keep the save set identical.
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_saveable,
-            jax.checkpoint_policies.save_only_these_names("flash_out", "flash_lse"),
+            jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse",
+                "attn_q", "attn_k", "attn_v", "attn_o",
+                "mlp_gate", "mlp_up", "mlp_down",
+            ),
         )
     if name == "min_saves":
         # exactly what the backward reads, nothing more: q/k/v projections

@@ -99,6 +99,23 @@ class Trainer:
 
         return jax.tree_util.tree_map(cast, frozen)
 
+    def _refresh_kernel_t(self, params: Any) -> Any:
+        """Rebuild every ``kernel_t`` as kernel.T (bwd_pretranspose): params
+        may come from module.init (independent random draws) or a loader
+        that only knows ``kernel`` — either way the transposed copy must be
+        derived, never trusted."""
+        from slam_llm_tpu.models.layers import refresh_pretransposed
+
+        llm_cfg = getattr(self.slam_cfg, "llm", None)
+        if not getattr(llm_cfg, "bwd_pretranspose", False):
+            return params
+        if not getattr(self.slam_cfg, "freeze_llm", True):
+            raise ValueError(
+                "llm.bwd_pretranspose requires freeze_llm: training the base "
+                "kernels would silently desynchronize their kernel_t copies"
+            )
+        return refresh_pretransposed(params)
+
     def create_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         model, mesh = self.model, self.mesh
         batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
@@ -115,6 +132,7 @@ class Trainer:
 
         with mesh:
             params = jax.jit(init_fn, out_shardings=self.param_shardings)(rng)
+            params = self._refresh_kernel_t(params)
             trainable, frozen = partition_params(params, self.slam_cfg)
             frozen = self._cast_frozen(frozen)
             opt_state = self._init_opt_state(trainable)
@@ -131,6 +149,7 @@ class Trainer:
         """Build a TrainState from already-materialized (sharded) params —
         the resume / pretrained-weights path."""
         with self.mesh:
+            params = self._refresh_kernel_t(params)
             trainable, frozen = partition_params(params, self.slam_cfg)
             frozen = self._cast_frozen(frozen)
             opt_state = self._init_opt_state(trainable)
