@@ -47,6 +47,12 @@ class BEATsEncoderConfig:
     max_distance: int = 1280
     conv_pos: int = 128
     conv_pos_groups: int = 16
+    # backbone variants: the BEATs ENCODER uses gated rel-pos bias + deep
+    # norm; the BEATs TOKENIZER backbone (reference BEATs/Tokenizers.py:51-57
+    # defaults) is a plain post-LN transformer without either
+    rel_bias: bool = True
+    deep_norm: bool = True
+    gate_from_query: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     scan_layers: bool = True
@@ -56,8 +62,9 @@ class BEATsEncoderConfig:
         return WavLMConfig(
             d_model=self.d_model, n_heads=self.n_heads, n_layers=self.n_layers,
             ffn_dim=self.ffn_dim, num_buckets=self.num_buckets,
-            max_distance=self.max_distance, rel_bias=True, deep_norm=True,
-            gate_from_query=True, do_stable_layer_norm=False,
+            max_distance=self.max_distance, rel_bias=self.rel_bias,
+            deep_norm=self.deep_norm,
+            gate_from_query=self.gate_from_query, do_stable_layer_norm=False,
             conv_pos=self.conv_pos, conv_pos_groups=self.conv_pos_groups,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
@@ -116,14 +123,16 @@ class BEATsTransformer(nn.Module):
         x = x + PositionalConvEmbedding(lc, name="pos_conv")(x)
         x = LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype, name="encoder_ln")(x)
 
-        rel_embed = self.param(
-            "rel_attn_embed",
-            nn.with_logical_partitioning(nn.initializers.normal(0.02), (None, "heads")),
-            (c.num_buckets, c.n_heads),
-            c.param_dtype,
-        )
-        buckets = jnp.asarray(relative_position_buckets(n_feat, c.num_buckets, c.max_distance))
-        position_bias = jnp.take(rel_embed, buckets, axis=0).transpose(2, 0, 1).astype(jnp.float32)
+        position_bias = None
+        if c.rel_bias:
+            rel_embed = self.param(
+                "rel_attn_embed",
+                nn.with_logical_partitioning(nn.initializers.normal(0.02), (None, "heads")),
+                (c.num_buckets, c.n_heads),
+                c.param_dtype,
+            )
+            buckets = jnp.asarray(relative_position_buckets(n_feat, c.num_buckets, c.max_distance))
+            position_bias = jnp.take(rel_embed, buckets, axis=0).transpose(2, 0, 1).astype(jnp.float32)
 
         layer_cls = WavLMLayer
         if c.remat:
@@ -230,11 +239,6 @@ def convert_beats(sd: Dict[str, np.ndarray], cfg: BEATsEncoderConfig) -> Dict[st
                        "bias": stack(L + "self_attn.v_proj.bias", False)},
             "out_proj": {"kernel": stack(L + "self_attn.out_proj.weight"),
                          "bias": stack(L + "self_attn.out_proj.bias", False)},
-            "gru_rel_pos_linear": {"kernel": stack(L + "self_attn.grep_linear.weight"),
-                                   "bias": stack(L + "self_attn.grep_linear.bias", False)},
-            "gru_rel_pos_const": np.stack(
-                [sd[L.format(i) + "self_attn.grep_a"] for i in range(n)], 0
-            ),
         },
         "layer_norm": {"scale": stack(L + "self_attn_layer_norm.weight", False),
                        "bias": stack(L + "self_attn_layer_norm.bias", False)},
@@ -243,16 +247,29 @@ def convert_beats(sd: Dict[str, np.ndarray], cfg: BEATsEncoderConfig) -> Dict[st
         "fc1": {"kernel": stack(L + "fc1.weight"), "bias": stack(L + "fc1.bias", False)},
         "fc2": {"kernel": stack(L + "fc2.weight"), "bias": stack(L + "fc2.bias", False)},
     }
+    # gated rel-pos keys are absent from TOKENIZER checkpoints (plain post-LN
+    # backbone, rel_bias=False) — convert them only when present
+    if L.format(0) + "self_attn.grep_linear.weight" in sd:
+        layers["attention"]["gru_rel_pos_linear"] = {
+            "kernel": stack(L + "self_attn.grep_linear.weight"),
+            "bias": stack(L + "self_attn.grep_linear.bias", False),
+        }
+        layers["attention"]["gru_rel_pos_const"] = np.stack(
+            [sd[L.format(i) + "self_attn.grep_a"] for i in range(n)], 0
+        )
+    transformer = {
+        "pos_conv": {"conv": {"kernel": pos_kernel, "bias": sd[base + "bias"]}},
+        "encoder_ln": {"scale": sd["encoder.layer_norm.weight"],
+                       "bias": sd["encoder.layer_norm.bias"]},
+        "layers": layers,
+    }
+    rel_key = "encoder.layers.0.self_attn.relative_attention_bias.weight"
+    if rel_key in sd:
+        transformer["rel_attn_embed"] = sd[rel_key]
     return {
         "patch_embedding": {"kernel": patch_kernel},
         "layer_norm": {"scale": sd["layer_norm.weight"], "bias": sd["layer_norm.bias"]},
         "post_extract_proj": {"kernel": t(sd["post_extract_proj.weight"]),
                               "bias": sd["post_extract_proj.bias"]},
-        "transformer": {
-            "pos_conv": {"conv": {"kernel": pos_kernel, "bias": sd[base + "bias"]}},
-            "encoder_ln": {"scale": sd["encoder.layer_norm.weight"],
-                           "bias": sd["encoder.layer_norm.bias"]},
-            "rel_attn_embed": sd["encoder.layers.0.self_attn.relative_attention_bias.weight"],
-            "layers": layers,
-        },
+        "transformer": transformer,
     }
