@@ -208,6 +208,14 @@ def main():
         f"# step: {dt*1e3:.1f} ms at batch {B}/chip, {SCAN_STEPS} scan-fused steps/dispatch",
         file=sys.stderr,
     )
+    mfu = achieved_tfs / 197.0
+    print(
+        f"# v4 projection: BASELINE's >=2x target presumes TPU v4 (275 TF/s peak vs "
+        f"this v5e's 197); the same program at {mfu*100:.0f}% MFU on v4 is "
+        f"~{mfu*275/(flops_utt/1e12):.0f} utt/s = {mfu*275/(flops_utt/1e12)/A100_EST_UTT_PER_SEC:.2f}x "
+        f"(per-op evidence: PERF.md)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -97,6 +97,11 @@ class ShardConfig:
     remat_policy: str = "dots_flash_saveable"
     scan_layers: bool = True  # lax.scan over decoder layers (fast compile)
     scan_unroll: int = 1  # lax.scan unroll factor over layers
+    # frozen-base backward: contract a stored transpose of each decoder
+    # kernel in the dx dots (one extra bf16 weight copy in HBM; requires
+    # freeze_llm). Measured NEUTRAL on v5e at the flagship shape (PERF.md) —
+    # kept for hardware/shapes where the tradeoff differs.
+    bwd_pretranspose: bool = False
 
 
 @dataclass

@@ -376,7 +376,12 @@ class _ScannedDecoder(nn.Module):
                 DecoderLayer,
                 policy=_remat_policy(c.remat_policy),
                 prevent_cse=False,
-                static_argnums=(6,),
+                # flax passes the MODULE as the lifted fn's arg 0, so
+                # ``deterministic`` sits at index 7, not 6 (6 is cache_index,
+                # always None on this path, which masked the off-by-one until
+                # a config with lora_dropout > 0 booleaned a traced
+                # deterministic inside DenseGeneralLora)
+                static_argnums=(7,),
             )
 
         def body(block, carry, layer_cache):

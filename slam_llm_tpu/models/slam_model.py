@@ -336,6 +336,7 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
             "scan_unroll": getattr(tc.shard, "scan_unroll", 1),
             "remat": tc.shard.remat,
             "remat_policy": tc.shard.remat_policy,
+            "bwd_pretranspose": getattr(tc.shard, "bwd_pretranspose", False),
         }
     )
 

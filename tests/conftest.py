@@ -22,8 +22,20 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the single-core CI host spends most of the suite
 # wall-time in XLA compiles; cache them across runs. Set via jax.config (the
 # env var is read at backend init, which sitecustomize already triggered).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# min_compile_time 0: eager flax applies in tests dispatch hundreds of
+# sub-second op compiles that dominated cold wall-time when only >1 s
+# entries were cached. A pre-seeded cache is committed at
+# tests/.jax_compile_cache (copied to /tmp so runs never dirty the repo) —
+# this is what makes a FRESH container start warm.
+import shutil as _shutil
+from pathlib import Path
+
+_seed = Path(__file__).resolve().parent / ".jax_compile_cache"
+_cache = Path("/tmp/jax_cache")
+if _seed.is_dir() and not _cache.exists():
+    _shutil.copytree(_seed, _cache)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import sys

@@ -52,6 +52,7 @@ def _loss_and_grads(cfg, params, batch):
     return jax.value_and_grad(loss_fn)(trainable)
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_pretranspose_matches_baseline_loss_and_grads():
     """Same weights, both formulations: identical loss + trainable grads."""
     from flax import linen as nn

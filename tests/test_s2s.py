@@ -210,6 +210,7 @@ def test_snac_layout_roundtrip():
     np.testing.assert_array_equal(cbs[1][0, 1::2][:4], [500, 501, 502, 503])  # layer 4
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_stream_generate_matches_batch(s2s_model):
     """Chunked streaming must produce exactly the same tokens as one-shot
     generation (greedy), with early stop on EOT+EOA."""

@@ -50,6 +50,7 @@ def _batch(v, b=2, t=10, seed=0):
     }
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_tts_adapter_forward_and_params():
     cfg = _cfg(tts_adapter=True, tts_adapter_layers=2)
     model = S2SModel(cfg)
@@ -127,6 +128,7 @@ def test_partial_embed_grad_mask():
     assert (np.asarray(out["llm"]["other"]["kernel"]) == 1).all()
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_tts_adapter_generation_uses_adapter_head():
     """Decode parity for tts_adapter models: the generator's first tokens
     must come from the SAME heads the training forward optimizes (text: base

@@ -65,17 +65,19 @@ def test_projector_shapes():
     x = jnp.ones((2, 23, 16))
     rng = jax.random.PRNGKey(0)
 
+    # jit the init+apply: eagerly these dispatch hundreds of op-level
+    # compiles (the QFormer alone cost ~20 s of the fast tier on 1 core)
     p = ProjectorConcat(cfg)
-    y = p.apply(p.init(rng, x), x)
+    y = jax.jit(lambda: p.apply(p.init(rng, x), x))()
     assert y.shape == (2, 4, 32)  # 23 -> 20 -> 4 groups of 5
 
     p = ProjectorConv1d(cfg)
-    y = p.apply(p.init(rng, x), x)
+    y = jax.jit(lambda: p.apply(p.init(rng, x), x))()
     assert y.shape == (2, 4, 32)  # (23-5)//5+1 = 4
 
     p = ProjectorQFormer(cfg)
     mask = jnp.ones((2, 23), jnp.int32)
-    y = p.apply(p.init(rng, x, mask), x, mask)
+    y = jax.jit(lambda: p.apply(p.init(rng, x, mask), x, mask))()
     assert y.shape == (2, 6, 32)
 
 

@@ -127,6 +127,7 @@ def test_frozen_params_unchanged(slam_cfg):
     assert changed
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_tp_sharding_compiles(slam_cfg):
     """tp=2 tensor-parallel sharding executes (collectives inserted by XLA)."""
     mesh = make_mesh(dp=2, fsdp=2, tp=2)

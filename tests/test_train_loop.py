@@ -8,6 +8,7 @@ trained zero steps, and a resumed run with step > cap trained nothing.
 import contextlib
 
 import numpy as np
+import pytest
 
 from slam_llm_tpu.train.loop import train
 
@@ -98,6 +99,7 @@ def test_decode_hook_runs_after_each_validation():
     assert calls == [2, 4, 6]
 
 
+@pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_min_saves_policy_grads_match_default():
     """`min_saves` changes WHAT remat stores, never the math: gradients must
     be bit-comparable to the default dots_flash_saveable policy."""
