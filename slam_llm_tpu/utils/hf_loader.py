@@ -240,6 +240,10 @@ def convert_encoder_checkpoint(encoder_path: str, encoder_name: str, enc_cfg):
         from slam_llm_tpu.models.beats import convert_beats
 
         return convert_beats(sd, enc_cfg)
+    if encoder_name == "beats_tokenizer":
+        from slam_llm_tpu.models.beats_tokenizer import convert_beats_tokenizer
+
+        return convert_beats_tokenizer(sd, enc_cfg)
     if encoder_name == "hubert":
         from slam_llm_tpu.models.wavlm import convert_hubert_fairseq
 
@@ -251,7 +255,8 @@ def convert_encoder_checkpoint(encoder_path: str, encoder_name: str, enc_cfg):
     raise ValueError(
         f"no file-checkpoint converter for encoder {encoder_name!r} "
         f"({encoder_path!r}); supported: spatial_ast, eat, av_hubert, beats, "
-        "hubert, clap (+ whisper/wavlm/hubert via HF directories)"
+        "beats_tokenizer, hubert, clap (+ whisper/wavlm/hubert via HF "
+        "directories)"
     )
 
 

@@ -60,3 +60,52 @@ def test_spatialast_file_dispatch(tmp_path):
     np.testing.assert_allclose(
         params["bn_mean"], ref.bn.running_mean.numpy(), rtol=1e-6
     )
+
+
+def test_beats_tokenizer_file_dispatch(tmp_path):
+    """A tokenizer .pt (no rel-pos keys, quantize_layer + codebook) routes
+    through convert_beats_tokenizer and keeps the codebook verbatim."""
+    from slam_llm_tpu.models.beats_tokenizer import BEATsTokenizerConfig
+
+    cfg = BEATsTokenizerConfig.tiny_test()
+    t = cfg.trunk
+    g = torch.Generator().manual_seed(0)
+    r = lambda *s: torch.randn(*s, generator=g)  # noqa: E731
+    d, f, p, e = t.d_model, t.ffn_dim, t.patch_size, t.patch_embed_dim
+    sd = {
+        "patch_embedding.weight": r(e, 1, p, p),
+        "layer_norm.weight": r(e), "layer_norm.bias": r(e),
+        "post_extract_proj.weight": r(d, e), "post_extract_proj.bias": r(d),
+        "encoder.pos_conv.0.weight": r(d, d // t.conv_pos_groups, t.conv_pos),
+        "encoder.pos_conv.0.bias": r(d),
+        "encoder.layer_norm.weight": r(d), "encoder.layer_norm.bias": r(d),
+        "quantize_layer.0.weight": r(d, d), "quantize_layer.0.bias": r(d),
+        "quantize_layer.2.weight": r(cfg.quant_dim, d),
+        "quantize_layer.2.bias": r(cfg.quant_dim),
+        "quantize.embedding.weight": r(cfg.quant_n, cfg.quant_dim),
+    }
+    for i in range(t.n_layers):
+        L = f"encoder.layers.{i}."
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[L + f"self_attn.{proj}.weight"] = r(d, d)
+            sd[L + f"self_attn.{proj}.bias"] = r(d)
+        sd[L + "self_attn_layer_norm.weight"] = r(d)
+        sd[L + "self_attn_layer_norm.bias"] = r(d)
+        sd[L + "final_layer_norm.weight"] = r(d)
+        sd[L + "final_layer_norm.bias"] = r(d)
+        sd[L + "fc1.weight"] = r(f, d)
+        sd[L + "fc1.bias"] = r(f)
+        sd[L + "fc2.weight"] = r(d, f)
+        sd[L + "fc2.bias"] = r(d)
+
+    path = tmp_path / "tokenizer.pt"
+    torch.save({"model": sd}, path)
+    params = convert_encoder_checkpoint(str(path), "beats_tokenizer", cfg)
+    assert set(params) == {"trunk", "quantize_in", "quantize_out", "codebook"}
+    layers = params["trunk"]["transformer"]["layers"]
+    assert "gru_rel_pos_linear" not in layers["attention"]  # no rel-pos keys
+    assert "rel_attn_embed" not in params["trunk"]["transformer"]
+    np.testing.assert_allclose(
+        params["codebook"], sd["quantize.embedding.weight"].numpy()
+    )
+    assert layers["fc1"]["kernel"].shape == (t.n_layers, d, f)
