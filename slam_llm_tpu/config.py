@@ -102,6 +102,12 @@ class ShardConfig:
     # freeze_llm). Measured NEUTRAL on v5e at the flagship shape (PERF.md) —
     # kept for hardware/shapes where the tradeoff differs.
     bwd_pretranspose: bool = False
+    # FROZEN-base W8A8: "int8" stores decoder dense kernels quantized
+    # (per-output-channel scales) and runs their dots s8 x s8 on the MXU at
+    # 2x the bf16 rate (ops/quant.py). Requires freeze_llm. base_quant_bwd
+    # picks the dx dot dtype: int8 (2x, per-row dy quantization) | bf16 (exact).
+    base_quant: str = "none"  # none | int8
+    base_quant_bwd: str = "int8"
 
 
 @dataclass

@@ -102,10 +102,45 @@ class DenseGeneralLora(nn.Module):
     # _pretransposed_dot). Requires the base kernel frozen — enforced by
     # train.state.build_trainer.
     pretranspose_bwd: bool = False
+    # FROZEN-base W8A8: store the kernel as (kernel_q int8, kernel_scale f32)
+    # and run the dot s8 x s8 on the MXU at 2x the bf16 rate (ops/quant.py).
+    # quant_bwd picks the dx dot dtype: "int8" (2x, straight-through dy
+    # quantization) or "bf16" (exact). Requires the base frozen — enforced by
+    # train.state.build_trainer.
+    quant: str = "none"
+    quant_bwd: str = "int8"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_features = x.shape[-1]
+        if self.quant == "int8":
+            from slam_llm_tpu.ops.quant import (
+                int8_dot,
+                int8_kernel_init,
+                int8_scale_init,
+            )
+
+            if self.pretranspose_bwd:
+                raise ValueError("quant='int8' and pretranspose_bwd are exclusive")
+            kernel_q = self.param(
+                "kernel_q",
+                nn.with_logical_partitioning(
+                    int8_kernel_init(self.kernel_init), self.kernel_axes
+                ),
+                (in_features, self.features),
+                jnp.int8,
+            )
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.with_logical_partitioning(
+                    int8_scale_init(self.kernel_init, in_features),
+                    (self.kernel_axes[-1],),
+                ),
+                (self.features,),
+                jnp.float32,
+            )
+            y = int8_dot(x.astype(self.dtype), kernel_q, kernel_scale, bwd=self.quant_bwd)
+            return self._bias_and_lora(x, y, in_features, deterministic)
         kernel = self.param(
             "kernel",
             nn.with_logical_partitioning(self.kernel_init, self.kernel_axes),
@@ -128,6 +163,9 @@ class DenseGeneralLora(nn.Module):
             )
         else:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return self._bias_and_lora(x, y, in_features, deterministic)
+
+    def _bias_and_lora(self, x, y, in_features, deterministic):
         if self.use_bias:
             bias = self.param(
                 "bias",

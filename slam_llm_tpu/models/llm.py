@@ -71,6 +71,13 @@ class LLMConfig:
     # one extra bf16 weight copy in HBM; requires freeze_llm (enforced by
     # train.state.build_trainer).
     bwd_pretranspose: bool = False
+    # FROZEN-base W8A8 (ops/quant.py): "int8" stores decoder dense kernels as
+    # (int8, per-channel f32 scale) and runs their dots s8 x s8 on the MXU at
+    # 2x the bf16 rate; embeddings / lm_head / norms / LoRA stay bf16.
+    # base_quant_bwd picks the dx dot: "int8" (2x, per-row dy quantization)
+    # or "bf16" (exact). Requires freeze_llm (train.state.build_trainer).
+    base_quant: str = "none"  # none | int8
+    base_quant_bwd: str = "int8"  # int8 | bf16
     # compile strategy
     scan_layers: bool = True
     # lax.scan unroll factor for the layer loop: >1 trades compile time for
@@ -149,6 +156,8 @@ class Attention(nn.Module):
             lora_alpha=c.lora_alpha,
             lora_dropout=c.lora_dropout,
             pretranspose_bwd=c.bwd_pretranspose,
+            quant=c.base_quant,
+            quant_bwd=c.base_quant_bwd,
             name=name,
         )
 
@@ -306,6 +315,7 @@ class MLP(nn.Module):
             DenseGeneralLora, dtype=c.dtype, param_dtype=c.param_dtype,
             lora_alpha=c.lora_alpha, lora_dropout=c.lora_dropout,
             pretranspose_bwd=c.bwd_pretranspose,
+            quant=c.base_quant, quant_bwd=c.base_quant_bwd,
         )
         gate = dense(
             features=c.ffn_dim, kernel_axes=("embed", "mlp"),

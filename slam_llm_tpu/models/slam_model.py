@@ -337,6 +337,8 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
             "remat": tc.shard.remat,
             "remat_policy": tc.shard.remat_policy,
             "bwd_pretranspose": getattr(tc.shard, "bwd_pretranspose", False),
+            "base_quant": getattr(tc.shard, "base_quant", "none"),
+            "base_quant_bwd": getattr(tc.shard, "base_quant_bwd", "int8"),
         }
     )
 

@@ -1,0 +1,295 @@
+"""Int8 (W8A8) compute path for FROZEN decoder dense layers.
+
+TPU-native speedup with no reference counterpart: the reference trains its
+frozen 7B base in bf16/fp16 under peft (reference models/slam_model.py:210-218
+freezes the base; utils/train_utils.py:70-76 sets the autocast dtype) because
+CUDA int8 training support sits in external libs it doesn't use. On TPU the
+MXU runs s8 x s8 -> s32 at 2x the bf16 rate (v5e: 394 TOPS vs 197 TFLOPS), and
+a LoRA-frozen base makes the weight quantization WRITE-ONCE: no requantization
+ever, no dw through the quantized dot, and the (tiny, bf16) LoRA branch rides
+on top and absorbs quantization bias during finetuning.
+
+Scheme (standard W8A8, SwitchBack-style backward):
+  * weights: symmetric per-output-channel int8 — ``scale[f] = amax(|w[:, f]|)/127``;
+  * activations: symmetric per-row (per-token) DYNAMIC int8, quantized in fp32
+    on the fly (the amax reduce + round fuse into the dot's operand pipeline);
+  * forward: ``y = (x_q @ w_q) * x_scale * w_scale`` with s32 accumulation;
+  * backward dx (base frozen => no dw): fold ``w_scale`` into dy FIRST
+    (``dy' = dy * w_scale``), then per-row quantize dy' — the w_scale factor
+    sits inside the contraction so it cannot be applied after the dot;
+  * LoRA / bias / norms / embeddings / lm_head stay bf16: the head feeds the
+    fp32 CE loss and quantizing it moves the loss itself, while the decoder
+    dots only feed residual streams that LoRA corrects.
+
+The gradient THROUGH the quantized dot is the straight-through estimator
+(d/dx round(x/s)*s ~= 1): exact for the weight side (frozen), and for the
+activation side the same estimator every int8-training scheme uses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# decoder dense modules whose frozen kernels are eligible for int8
+PROJ_NAMES = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+)
+
+_EPS = 1e-30
+
+
+def quantize_int8(w: jnp.ndarray, contract_axis: int = -2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-channel int8: reduce |amax| over the CONTRACTION axis.
+
+    ``w`` (..., in, out) -> (q int8 same shape, scale fp32 (..., out)).
+    Works on scan-stacked kernels (L, in, out) unchanged: axis=-2 keeps the
+    layer axis in the scales.
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=contract_axis)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.round(w32 / jnp.expand_dims(scale, contract_axis))
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def quantize_int8_np(w: np.ndarray, contract_axis: int = -2) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (numpy) twin of ``quantize_int8`` for checkpoint loaders."""
+    w32 = np.asarray(w, np.float32)
+    amax = np.max(np.abs(w32), axis=contract_axis)
+    scale = np.maximum(amax, _EPS) / 127.0
+    q = np.round(w32 / np.expand_dims(scale, contract_axis))
+    return np.clip(q, -127, 127).astype(np.int8), scale.astype(np.float32)
+
+
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, contract_axis: int = -2, dtype=jnp.float32):
+    return (q.astype(jnp.float32) * jnp.expand_dims(scale, contract_axis)).astype(dtype)
+
+
+def _rowquant(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) dynamic symmetric int8. x32 fp32 (..., K)."""
+    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, _EPS)
+    return jnp.round(x32 / s).astype(jnp.int8), s
+
+
+def act_quant(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row dynamic int8 of an activation, built from PLAIN XLA ops so it
+    (a) CSEs across the q/k/v (and gate/up) denses that share one input —
+    inside a custom_vjp each dense would re-quantize the same x (measured
+    ~790 us/layer of redundant reduce_max at flagship shapes) — and (b) never
+    materializes an fp32 copy of x: the abs feeds the reduce as an input
+    fusion (one bf16 read), and the round pass re-derives x/s on its own read
+    (the two expressions differ by the |.|, so CSE cannot merge them back
+    into a shared, materialized fp32 intermediate)."""
+    a = jnp.abs(x).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), _EPS * 127.0) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+    return q, s
+
+
+def _s8_dot(a_q: jnp.ndarray, b_q: jnp.ndarray, contract_b: int) -> jnp.ndarray:
+    """s8 x s8 -> s32 MXU dot: a_q (..., K) contracted with b_q's axis ``contract_b``."""
+    return jax.lax.dot_general(
+        a_q, b_q, (((a_q.ndim - 1,), (contract_b,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _float0(x):
+    """Cotangent for integer primals (custom_vjp contract)."""
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+def _fwd_value(x_q, x_s, w_q, w_scale, out_dtype):
+    y = _s8_dot(x_q, w_q, 0).astype(jnp.float32)
+    # single fused epilogue pass: s32 -> f32 convert + row scale + col scale
+    return (y * x_s * w_scale.astype(jnp.float32)).astype(out_dtype)
+
+
+def _int8_dx(dy, w_q, w_scale, out_dtype):
+    """int8 dx dot: dy (..., F) x w_q^T -> (..., K) at the s8 MXU rate.
+
+    The per-output-channel w_scale sits INSIDE the contraction
+    (dx_i = sum_f dy_f * w_scale_f * w_q[i, f]) so it folds into dy before
+    quantization. Like ``act_quant``, the amax reduce and the round pass each
+    re-derive the product on their own read — no fp32 dy' materialization."""
+    ws32 = w_scale.astype(jnp.float32)
+    a = jnp.abs(dy).astype(jnp.float32) * ws32
+    s = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), _EPS * 127.0) / 127.0
+    dy_q = jnp.round(dy.astype(jnp.float32) * ws32 / s).astype(jnp.int8)
+    return (_s8_dot(dy_q, w_q, 1).astype(jnp.float32) * s).astype(out_dtype)
+
+
+@jax.custom_vjp
+def _int8_dot_bwd8(x, x_q, x_s, w_q, w_scale):
+    return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
+
+
+def _int8_dot_bwd8_fwd(x, x_q, x_s, w_q, w_scale):
+    # residuals: params only — the backward reads NO activation, so remat
+    # policies have nothing extra to save for this op
+    return (
+        _fwd_value(x_q, x_s, w_q, w_scale, x.dtype),
+        (w_q, w_scale, jnp.zeros((0,), x.dtype)),
+    )
+
+
+def _x_aux_cotangents(dx, dy, w_q, w_scale):
+    """Zero cotangents for the data-only (x_q, x_s) operands: x_q has dx's
+    shape (int8 -> float0), x_s is (..., 1) fp32."""
+    return (
+        np.zeros(dx.shape, dtype=jax.dtypes.float0),
+        jnp.zeros(dy.shape[:-1] + (1,), jnp.float32),
+        _float0(w_q),
+        jnp.zeros_like(w_scale),
+    )
+
+
+def _int8_dot_bwd8_bwd(res, dy):
+    w_q, w_scale, x_proto = res
+    dx = _int8_dx(dy, w_q, w_scale, x_proto.dtype)
+    return (dx,) + _x_aux_cotangents(dx, dy, w_q, w_scale)
+
+
+_int8_dot_bwd8.defvjp(_int8_dot_bwd8_fwd, _int8_dot_bwd8_bwd)
+
+
+@jax.custom_vjp
+def _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale):
+    return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
+
+
+def _int8_dot_bwdbf16_fwd(x, x_q, x_s, w_q, w_scale):
+    return (
+        _fwd_value(x_q, x_s, w_q, w_scale, x.dtype),
+        (w_q, w_scale, jnp.zeros((0,), x.dtype)),
+    )
+
+
+def _int8_dot_bwdbf16_bwd(res, dy):
+    # exact-dtype backward: dequantize the weight and contract in bf16 —
+    # gradients see NO activation-quantization noise, at bf16 dot speed
+    w_q, w_scale, x_proto = res
+    w = dequantize_int8(w_q, w_scale, contract_axis=0, dtype=jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        dy.astype(jnp.bfloat16), w, (((dy.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x_proto.dtype)
+    return (dx,) + _x_aux_cotangents(dx, dy, w_q, w_scale)
+
+
+_int8_dot_bwdbf16.defvjp(_int8_dot_bwdbf16_fwd, _int8_dot_bwdbf16_bwd)
+
+
+def int8_dot(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    *,
+    bwd: str = "int8",
+    pre_quant: Tuple[jnp.ndarray, jnp.ndarray] = None,
+):
+    """``x @ dequant(w_q)`` computed s8 x s8 on the MXU.
+
+    x (..., K) any float dtype; w_q int8 (K, F); w_scale fp32 (F,).
+    ``pre_quant``: optional (x_q, x_s) from ``act_quant`` — callers with
+    several denses over ONE input (q/k/v, gate/up) quantize it once and share.
+    ``bwd``: "int8" quantizes dy per-row for a 2x-rate dx dot; "bf16"
+    contracts the dequantized weight exactly. The weight cotangent is zero by
+    construction — train.state.build_trainer enforces freeze_llm so a stale
+    quantization can never silently diverge from a training base.
+
+    Gradient flows ONLY through the ``x`` argument (straight-through); the
+    (x_q, x_s) operands are data-only duplicates of the same value.
+    """
+    if pre_quant is None:
+        pre_quant = act_quant(x)
+    # gradient-dead by construction: dx flows through the ``x`` argument's
+    # straight-through cotangent, so kill AD through the quantization chain
+    # itself — otherwise the max/divide VJP runs select/reduce ops per dense
+    # just to propagate structural zeros (measured ~0.4 ms/layer)
+    x_q, x_s = jax.tree_util.tree_map(jax.lax.stop_gradient, pre_quant)
+    if bwd == "int8":
+        return _int8_dot_bwd8(x, x_q, x_s, w_q, w_scale)
+    if bwd == "bf16":
+        return _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale)
+    raise ValueError(f"int8_dot bwd={bwd!r}: expected 'int8' or 'bf16'")
+
+
+def int8_kernel_init(kernel_init):
+    """Param initializer drawing ``kernel_init`` in fp32 then quantizing.
+
+    The matching ``kernel_scale`` is initialized by ``int8_scale_init`` from
+    an INDEPENDENT draw of the same distribution — statistically identical,
+    which is all a random init needs (real runs always overlay a checkpoint,
+    where loader-side quantization keeps q/scale exactly paired)."""
+
+    def init(key, shape, dtype=jnp.int8):
+        w = kernel_init(key, shape, jnp.float32)
+        return quantize_int8(w, contract_axis=-2)[0]
+
+    return init
+
+
+def int8_scale_init(kernel_init, in_features: int):
+    def init(key, shape, dtype=jnp.float32):
+        w = kernel_init(key, (in_features,) + tuple(shape), jnp.float32)
+        return quantize_int8(w, contract_axis=0)[1].astype(dtype)
+
+    return init
+
+
+def quantize_base_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Tree transform: replace every decoder-dense fp ``kernel`` with the
+    (``kernel_q``, ``kernel_scale``) pair the ``base_quant='int8'`` module
+    structure expects. Applies only under a ``decoder`` path and only to
+    ``PROJ_NAMES`` modules — embeddings, lm_head, norms and LoRA leaves pass
+    through untouched. Leaves already-quantized nodes alone (idempotent)."""
+
+    def walk(node, in_decoder):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (
+                in_decoder
+                and k in PROJ_NAMES
+                and isinstance(v, dict)
+                and "kernel" in v
+                and "kernel_q" not in v
+            ):
+                q, s = quantize_int8(jnp.asarray(v["kernel"]))
+                nv = {kk: vv for kk, vv in v.items() if kk != "kernel"}
+                nv["kernel_q"], nv["kernel_scale"] = q, s
+                out[k] = nv
+            else:
+                out[k] = walk(v, in_decoder or k == "decoder")
+        return out
+
+    return walk(params, False)
+
+
+def dequantize_base_params(params: Dict[str, Any], dtype=jnp.float32) -> Dict[str, Any]:
+    """Inverse structure transform (export/interop): (kernel_q, kernel_scale)
+    -> fp ``kernel``. Values are dequantized, i.e. lossy-roundtripped."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and "kernel_q" in v and "kernel_scale" in v:
+                nv = {kk: walk(vv) for kk, vv in v.items() if kk not in ("kernel_q", "kernel_scale")}
+                nv["kernel"] = dequantize_int8(
+                    jnp.asarray(v["kernel_q"]), jnp.asarray(v["kernel_scale"]), dtype=dtype
+                )
+                out[k] = nv
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)

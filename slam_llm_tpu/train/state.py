@@ -92,12 +92,17 @@ class Trainer:
             )
         dt = jnp.bfloat16
 
-        def cast(x):
+        def cast(path, x):
+            # int8 kernels pass through (not f32); their f32 per-channel
+            # scales must KEEP f32 — a bf16 scale (8 mantissa bits) adds
+            # ~0.4% multiplicative error on top of int8's own ~0.4%
+            if path and getattr(path[-1], "key", None) == "kernel_scale":
+                return x
             if x is not None and hasattr(x, "dtype") and x.dtype == jnp.float32:
                 return x.astype(dt)
             return x
 
-        return jax.tree_util.tree_map(cast, frozen)
+        return jax.tree_util.tree_map_with_path(cast, frozen)
 
     def _refresh_kernel_t(self, params: Any) -> Any:
         """Rebuild every ``kernel_t`` as kernel.T (bwd_pretranspose): params
@@ -116,6 +121,23 @@ class Trainer:
             )
         return refresh_pretransposed(params)
 
+    def _quantize_base(self, params: Any) -> Any:
+        """base_quant='int8': convert any fp decoder-dense ``kernel`` leaves
+        (loaders, foreign checkpoints) into the (kernel_q, kernel_scale)
+        structure the module expects; no-op on already-quantized trees."""
+        llm_cfg = getattr(self.slam_cfg, "llm", None)
+        if getattr(llm_cfg, "base_quant", "none") == "none":
+            return params
+        if not getattr(self.slam_cfg, "freeze_llm", True):
+            raise ValueError(
+                "llm.base_quant requires freeze_llm: the int8 dot's weight "
+                "cotangent is zero by construction, so training the base "
+                "through it would silently not train"
+            )
+        from slam_llm_tpu.ops.quant import quantize_base_params
+
+        return quantize_base_params(params)
+
     def create_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         model, mesh = self.model, self.mesh
         batch = jax.tree_util.tree_map(jnp.asarray, dict(example_batch))
@@ -133,6 +155,7 @@ class Trainer:
         with mesh:
             params = jax.jit(init_fn, out_shardings=self.param_shardings)(rng)
             params = self._refresh_kernel_t(params)
+            params = self._quantize_base(params)  # no-op on init structure; guard runs
             trainable, frozen = partition_params(params, self.slam_cfg)
             frozen = self._cast_frozen(frozen)
             opt_state = self._init_opt_state(trainable)
@@ -150,6 +173,7 @@ class Trainer:
         the resume / pretrained-weights path."""
         with self.mesh:
             params = self._refresh_kernel_t(params)
+            params = self._quantize_base(params)
             trainable, frozen = partition_params(params, self.slam_cfg)
             frozen = self._cast_frozen(frozen)
             opt_state = self._init_opt_state(trainable)

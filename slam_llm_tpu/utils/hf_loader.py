@@ -267,6 +267,14 @@ def _overlay_device(tree: Dict[str, Any], shardings: Dict[str, Any], src: Dict[s
     devices) and (b) re-upload every non-replaced param; each replaced leaf
     goes host -> target sharding in ONE transfer."""
     for k, v in src.items():
+        if k == "kernel" and k not in tree and "kernel_q" in tree:
+            # base_quant='int8' model structure: quantize the incoming fp
+            # kernel host-side so q/scale stay exactly paired (ops/quant.py)
+            from slam_llm_tpu.ops.quant import quantize_int8_np
+
+            q, s = quantize_int8_np(np.asarray(v))
+            _overlay_device(tree, shardings, {"kernel_q": q, "kernel_scale": s}, path)
+            continue
         if k not in tree:
             raise KeyError(f"converted key {path}{k} not in model params")
         if isinstance(v, dict):
