@@ -77,18 +77,19 @@ def _rowquant(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def act_quant(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row dynamic int8 of an activation, built from PLAIN XLA ops so it
-    (a) CSEs across the q/k/v (and gate/up) denses that share one input —
-    inside a custom_vjp each dense would re-quantize the same x (measured
-    ~790 us/layer of redundant reduce_max at flagship shapes) — and (b) never
-    materializes an fp32 copy of x: the abs feeds the reduce as an input
-    fusion (one bf16 read), and the round pass re-derives x/s on its own read
-    (the two expressions differ by the |.|, so CSE cannot merge them back
-    into a shared, materialized fp32 intermediate)."""
-    a = jnp.abs(x).astype(jnp.float32)
-    s = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), _EPS * 127.0) / 127.0
-    q = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
-    return q, s
+    """Per-row dynamic int8 of an activation via the fused Pallas kernel
+    (ops/kernels/rowquant.py): one bf16 read, one int8 + scale write. Sits
+    OUTSIDE the custom_vjp so the q/k/v (and gate/up) denses that share one
+    input CSE a single quantization — inside the vjp each dense would
+    re-quantize the same x (measured ~790 us/layer of redundant reduce_max
+    at flagship shapes). XLA's lowering of the same math runs an unfused
+    reduce + requantize chain ~8x off the HBM roofline."""
+    from slam_llm_tpu.ops.kernels.rowquant import rowquant
+
+    # input-side stop_gradient: the kernel has no JVP rule (gradient-dead by
+    # construction — dx rides int8_dot's custom_vjp ``x`` argument), and
+    # remat's linearization would otherwise demand one
+    return rowquant(jax.lax.stop_gradient(x))
 
 
 def _s8_dot(a_q: jnp.ndarray, b_q: jnp.ndarray, contract_b: int) -> jnp.ndarray:
@@ -115,12 +116,11 @@ def _int8_dx(dy, w_q, w_scale, out_dtype):
 
     The per-output-channel w_scale sits INSIDE the contraction
     (dx_i = sum_f dy_f * w_scale_f * w_q[i, f]) so it folds into dy before
-    quantization. Like ``act_quant``, the amax reduce and the round pass each
-    re-derive the product on their own read — no fp32 dy' materialization."""
-    ws32 = w_scale.astype(jnp.float32)
-    a = jnp.abs(dy).astype(jnp.float32) * ws32
-    s = jnp.maximum(jnp.max(a, axis=-1, keepdims=True), _EPS * 127.0) / 127.0
-    dy_q = jnp.round(dy.astype(jnp.float32) * ws32 / s).astype(jnp.int8)
+    quantization — the rowquant kernel's ``fold`` argument applies it in the
+    same fused scale-amax-round pass."""
+    from slam_llm_tpu.ops.kernels.rowquant import rowquant
+
+    dy_q, s = rowquant(dy, fold=w_scale)
     return (_s8_dot(dy_q, w_q, 1).astype(jnp.float32) * s).astype(out_dtype)
 
 
