@@ -69,13 +69,6 @@ def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, contract_axis: int = -2,
     return (q.astype(jnp.float32) * jnp.expand_dims(scale, contract_axis)).astype(dtype)
 
 
-def _rowquant(x32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row (last-axis) dynamic symmetric int8. x32 fp32 (..., K)."""
-    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
-    s = jnp.maximum(s, _EPS)
-    return jnp.round(x32 / s).astype(jnp.int8), s
-
-
 def act_quant(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row dynamic int8 of an activation via the fused Pallas kernel
     (ops/kernels/rowquant.py): one bf16 read, one int8 + scale write. Sits

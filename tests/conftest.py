@@ -27,11 +27,21 @@ jax.config.update("jax_platforms", "cpu")
 # entries were cached. A pre-seeded cache is committed at
 # tests/.jax_compile_cache (copied to /tmp so runs never dirty the repo) —
 # this is what makes a FRESH container start warm.
+import hashlib as _hashlib
 import shutil as _shutil
 from pathlib import Path
 
 _seed = Path(__file__).resolve().parent / ".jax_compile_cache"
-_cache = Path("/tmp/jax_cache")
+# key the /tmp dir by (jax version, seed dir manifest) so a refreshed
+# committed seed (or a jax upgrade) always takes effect — a stale /tmp
+# cache from an older build would otherwise silently shadow the seed and
+# reproduce the cold-compile wall the seed exists to fix
+_manifest = jax.__version__
+if _seed.is_dir():
+    _manifest += "".join(
+        sorted(f"{p.name}:{p.stat().st_size}" for p in _seed.iterdir())
+    )
+_cache = Path(f"/tmp/jax_cache_{_hashlib.sha1(_manifest.encode()).hexdigest()[:12]}")
 if _seed.is_dir() and not _cache.exists():
     _shutil.copytree(_seed, _cache)
 jax.config.update("jax_compilation_cache_dir", str(_cache))

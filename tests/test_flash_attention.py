@@ -160,6 +160,25 @@ def test_flash_all_masked_rows_zero(h, hkv):
     np.testing.assert_array_equal(np.asarray(gv)[1], 0.0)
 
 
+def test_dense_additive_bias_all_masked_rows_zero():
+    """The DENSE-bias XLA path (e.g. WavLM rel-pos bias added onto NEG_INF
+    padding) must use the same all-masked-row convention as the structured
+    path: output exactly 0, not softmax-uniform ~mean(V). Row liveness is
+    derived from the FINAL bias (finite rel-pos + NEG_INF stays < NEG_INF/2)."""
+    from slam_llm_tpu.models.layers import NEG_INF, _xla_attention, make_padding_bias
+
+    b, t, h, d = 2, 32, 4, 16
+    q, k, v = _rand((b, t, h, d), 60), _rand((b, t, h, d), 61), _rand((b, t, h, d), 62)
+    kv_mask = np.ones((b, t), np.int32)
+    kv_mask[1, :] = 0  # whole second row masked
+    bias = make_padding_bias(jnp.asarray(kv_mask), q_len=t)
+    # add a finite rel-pos-style term, as WavLM does — must not "revive" rows
+    rel = _rand((1, h, t, t), 63).astype(np.float32) * 3.0
+    out = _xla_attention(q, k, v, bias + rel, kv_mask=None, causal=False)
+    np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_llm_uses_structured_path_consistently():
     """Full CausalLM forward is identical with pallas disabled (CPU XLA) —
     guards the structured-mask refactor against the old dense-bias semantics."""

@@ -52,6 +52,42 @@ def _loss_and_grads(cfg, params, batch):
     return jax.value_and_grad(loss_fn)(trainable)
 
 
+def test_pretransposed_dot_grad_matches_plain_dense():
+    """Fast-tier backward-math check: one DenseGeneralLora, pretransposed vs
+    plain dot — the full-model variant below is slow-tier only, so without
+    this the <300s tier would exercise only refresh/guard plumbing."""
+    from flax import linen as nn
+
+    from slam_llm_tpu.models.layers import DenseGeneralLora, refresh_pretransposed
+
+    kw = dict(features=24, dtype=jnp.float32, param_dtype=jnp.float32, lora_rank=4)
+    d_plain = DenseGeneralLora(**kw)
+    d_pre = DenseGeneralLora(pretranspose_bwd=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 16), jnp.float32)
+    params = nn.meta.unbox(d_plain.init(jax.random.PRNGKey(1), x)["params"])
+    params_t = refresh_pretransposed(
+        {**params, "kernel_t": jnp.swapaxes(params["kernel"], -1, -2)}
+    )
+    dy = jax.random.normal(jax.random.PRNGKey(2), (3, 24), jnp.float32)
+
+    def scalar(d, p, x):
+        return jnp.vdot(d.apply({"params": p}, x), dy)
+
+    y_a = d_plain.apply({"params": params}, x)
+    y_b = d_pre.apply({"params": params_t}, x)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b), rtol=1e-6)
+    gx_a = jax.grad(lambda x: scalar(d_plain, params, x))(x)
+    gx_b = jax.grad(lambda x: scalar(d_pre, params_t, x))(x)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b), rtol=1e-5, atol=1e-6)
+    # LoRA param grads must also agree (they ride the same custom VJP output)
+    ga = jax.grad(lambda p: scalar(d_plain, p, x))(params)
+    gb = jax.grad(lambda p: scalar(d_pre, p, x))(params_t)
+    for k in ("lora_a", "lora_b"):
+        np.testing.assert_allclose(
+            np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
 @pytest.mark.slow  # heavyweight; covered per-feature by the fast tier
 def test_pretranspose_matches_baseline_loss_and_grads():
     """Same weights, both formulations: identical loss + trainable grads."""

@@ -18,21 +18,19 @@ def main(outdir="/tmp/trace", top=40):
     data, _ = r2t.xspace_to_tool_data([files[-1]], "framework_op_stats", {"tqx": "out:json"})
     table = json.loads(data) if isinstance(data, (str, bytes)) else data
     rows = []
-    seen = set()
+    # the tool emits the same table more than once (combined + per-host
+    # views); consume only the FIRST table containing Device rows — the
+    # combined view — rather than deduping on value-equality of row stats,
+    # which could merge genuinely distinct rows across views
     for t in table:
         for r in t.get("rows", []):
             c = [x.get("v") if isinstance(x, dict) else x for x in r["c"]]
             # cols: rank, host/device, type, name, occ, total, avg, total_self, avg_self, dev%...
             if c[1] != "Device":
                 continue
-            # the tool emits the same table more than once (combined +
-            # per-host views) — dedup or every op double-counts and the
-            # printed total is 2x the real device time
-            key = (c[2], c[3], c[4], c[7])
-            if key in seen:
-                continue
-            seen.add(key)
             rows.append((c[7], c[4], c[8], c[2], c[3]))
+        if rows:
+            break
     rows.sort(key=lambda r: -r[0])
     total = sum(r[0] for r in rows)
     print(f"total device self time: {total/1e3:.1f} ms (over the traced window)")
