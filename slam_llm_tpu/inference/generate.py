@@ -187,7 +187,24 @@ class Generator:
     # ---- beam search ------------------------------------------------------
 
     def _beam(self, params, batch, max_new: int, num_beams: int):
-        """Standard length-penalized beam search over the shared KV cache.
+        """Length-penalized beam search, token-identical with HF transformers'
+        vectorized ``GenerationMixin._beam_search`` (v4.57, the path the
+        reference drives via ``llm.generate(inputs_embeds=...)``,
+        reference models/slam_model.py:439-454), verified differentially in
+        tests/test_decode_differential.py. Semantics replicated:
+
+        * 2K candidates per step; the K continuing beams are the best K
+          candidates that did NOT hit a stopping criterion (EOS/max-length);
+        * a candidate ranked < K that hits a criterion is banked into the
+          finished set with score ``cum_logprob / (gen_len ** length_penalty)``
+          where gen_len INCLUDES the terminating token and counts generated
+          tokens only (the embeds path has decoder_prompt_len=0);
+        * at max length every top-K candidate banks (HF's MaxLengthCriteria);
+        * per-batch sticky early-stop heuristic (early_stopping=False): once
+          the best running beam normalized at the CURRENT length can no
+          longer beat the worst finished score, the finished set freezes;
+        * the loop exits when no batch can improve or no candidate can
+          continue; output is the best finished beam.
 
         Beams are flattened into the batch axis (B*K rows); the cache is
         gathered with ``reorder_cache`` each step (SURVEY.md §7.3 item 4).
@@ -196,8 +213,10 @@ class Generator:
         model = self.model
         b, t = batch["input_ids"].shape
         k = num_beams
+        k2 = 2 * k  # beams_to_keep: (n_eos_tokens + 1) * num_beams
         max_len = t + max_new
         llm_cfg = model.cfg.llm
+        lp = cfg.length_penalty
 
         # prefill once at batch B, then tile cache/state to B*K
         cache = init_kv_cache(llm_cfg, b, max_len)
@@ -212,27 +231,95 @@ class Generator:
         prompt_len_k = jnp.repeat(prompt_len, k, axis=0)
 
         # repetition penalty on the log-softmax scores, HF beam semantics
-        # (the processor runs on next_token_scores inside beam_search)
+        # (the processor runs on next_token_scores inside beam_search).
+        # EXTENSION vs HF's embeds path: counts are seeded from the PROMPT
+        # too (HF only sees generated ids there); identical at penalty=1.0
         counts0 = _prompt_token_counts(batch, v)  # (B, V)
 
+        top_beam_mask = jnp.arange(k2) < k  # rank < K may bank
+
+        def process(i, run_scores, run_tokens, logp, fin, unsat):
+            """One HF beam step given per-beam next-token logprobs.
+
+            i: tokens generated BEFORE this step. logp: (B, K, V).
+            Returns the next running/finished state plus the selected beam
+            sources (for cache/token-count reorder) and the step's hit mask.
+            """
+            fin_tokens, fin_scores, fin_flags = fin
+            cand = (run_scores[:, :, None] + logp).reshape(b, k * v)
+            c_scores, c_idx = jax.lax.top_k(cand, k2)  # (B, 2K) sorted desc
+            c_src = c_idx // v
+            c_tok = (c_idx % v).astype(jnp.int32)
+            # candidate sequences: parent prefix + new token at slot i
+            c_seq = jnp.take_along_axis(run_tokens, c_src[:, :, None], axis=1)
+            c_seq = c_seq.at[:, :, i].set(c_tok)
+            # stopping criteria: EOS emitted, or max length reached
+            hits = (c_tok == cfg.eos_token_id) | (jnp.asarray(i + 1) >= max_new)  # (B, 2K)
+
+            # continuing beams: best K candidates that did not hit
+            run_cand_scores = c_scores + hits.astype(jnp.float32) * -1.0e9
+            new_run_scores, sel = jax.lax.top_k(run_cand_scores, k)  # (B, K)
+            new_run_tokens = jnp.take_along_axis(c_seq, sel[:, :, None], axis=1)
+            sel_src = jnp.take_along_axis(c_src, sel, axis=1)  # (B, K) parent beams
+
+            # finished set update: rank<K hits bank at gen_len = i+1 (incl. EOS)
+            norm = c_scores / jnp.float32(i + 1) ** lp
+            norm = jnp.where(hits & top_beam_mask[None, :], norm, -1.0e9)
+            norm = jnp.where(unsat[:, None], norm, -1.0e9)  # frozen batches
+            m_scores = jnp.concatenate([fin_scores, norm], axis=1)  # (B, 3K)
+            m_tokens = jnp.concatenate([fin_tokens, c_seq], axis=1)
+            m_flags = jnp.concatenate(
+                [fin_flags, hits & top_beam_mask[None, :]], axis=1
+            )
+            new_fin_scores, keep = jax.lax.top_k(m_scores, k)
+            new_fin_tokens = jnp.take_along_axis(m_tokens, keep[:, :, None], axis=1)
+            new_fin_flags = jnp.take_along_axis(m_flags, keep, axis=1)
+
+            # sticky early-stop heuristic (early_stopping=False): compare the
+            # best running score normalized at the NEW current length against
+            # the worst finished score (HF takes min over ALL K slots, gated
+            # on any-finished per slot — replicated bit-for-bit)
+            best_possible = new_run_scores[:, :1] / jnp.float32(i + 1) ** lp
+            worst_fin = jnp.where(
+                new_fin_flags, jnp.min(new_fin_scores, axis=1, keepdims=True), -1.0e9
+            )  # (B, K)
+            new_unsat = unsat & jnp.any(best_possible > worst_fin, axis=-1)
+
+            fin = (new_fin_tokens, new_fin_scores, new_fin_flags)
+            return new_run_scores, new_run_tokens, sel_src, hits, fin, new_unsat
+
+        # ---- step 0: candidates come from the prefill logits; HF's
+        # running-score init [0, -1e9, ...] makes beam 0 the only source
         logp0 = jax.nn.log_softmax(next_logits, axis=-1)  # (B, V)
         logp0 = _apply_repetition_penalty(logp0, counts0, cfg.repetition_penalty)
-
-        # initial expansion: top-k tokens of the first step
-        top_lp, top_tok = jax.lax.top_k(logp0, k)  # (B, K)
-        scores = top_lp  # (B, K)
-        tokens = jnp.full((b, k, max_new), cfg.pad_token_id, jnp.int32)
-        tokens = tokens.at[:, :, 0].set(top_tok)
-        finished = top_tok == cfg.eos_token_id  # (B, K)
-        # generated length per beam, EOS excluded (HF BeamHypotheses stores
-        # the hypothesis without the terminating EOS)
-        lengths = jnp.where(finished, 0, 1).astype(jnp.int32)
+        run_scores0 = jnp.full((b, k), -1.0e9, jnp.float32).at[:, 0].set(0.0)
+        run_tokens0 = jnp.full((b, k, max_new), cfg.pad_token_id, jnp.int32)
+        fin0 = (
+            jnp.full((b, k, max_new), cfg.pad_token_id, jnp.int32),
+            jnp.full((b, k), -1.0e9, jnp.float32),
+            jnp.zeros((b, k), bool),
+        )
+        run_scores, run_tokens, sel_src, hits, fin, unsat = process(
+            0, run_scores0, run_tokens0,
+            jnp.broadcast_to(logp0[:, None, :], (b, k, v)),
+            fin0, jnp.ones((b,), bool),
+        )
         token_counts = jnp.repeat(counts0, k, axis=0)  # (B*K, V)
-        token_counts = token_counts.at[jnp.arange(b * k), top_tok.reshape(-1)].add(1)
+        token_counts = token_counts.at[
+            jnp.arange(b * k), run_tokens[:, :, 0].reshape(-1)
+        ].add(1)
 
-        def step_fn(i, carry):
-            tokens, scores, finished, lengths, token_counts, cache = carry
-            tok = tokens[:, :, i - 1].reshape(b * k)  # last emitted token
+        def cond(state):
+            i, _, _, _, _, hits, unsat, _ = state
+            return (
+                (i < max_new)
+                & jnp.any(unsat)            # some batch can still improve
+                & ~jnp.all(hits)            # some candidate could continue
+            )
+
+        def body(state):
+            i, cache, run_tokens, run_scores, fin, _, unsat, token_counts = state
+            tok = run_tokens[:, :, i - 1].reshape(b * k)  # last emitted token
             pos = (prompt_len_k + i - 1)[:, None]
             cache_index = t + i - 1
             gen_valid = (jnp.arange(max_len)[None, :] >= t) & (
@@ -247,46 +334,22 @@ class Generator:
             )
             logp = jax.nn.log_softmax(logits[:, 0], axis=-1)  # (B*K, V)
             logp = _apply_repetition_penalty(logp, token_counts, cfg.repetition_penalty)
-            logp = logp.reshape(b, k, v)
 
-            # finished beams may only extend with pad at no cost
-            pad_only = jnp.full((v,), NEG_INF).at[cfg.pad_token_id].set(0.0)
-            logp = jnp.where(finished[:, :, None], pad_only[None, None, :], logp)
-
-            cand = scores[:, :, None] + logp  # (B, K, V)
-            flat = cand.reshape(b, k * v)
-            new_scores, idx = jax.lax.top_k(flat, k)  # (B, K)
-            beam_src = idx // v  # (B, K)
-            new_tok = (idx % v).astype(jnp.int32)
-
-            tokens = jnp.take_along_axis(tokens, beam_src[:, :, None], axis=1)
-            tokens = tokens.at[:, :, i].set(new_tok)
-            finished = jnp.take_along_axis(finished, beam_src, axis=1)
-            lengths = jnp.take_along_axis(lengths, beam_src, axis=1)
-            # EOS emitted this step terminates the hypothesis and is NOT
-            # counted in its length (HF BeamHypotheses.add semantics)
-            lengths = jnp.where(
-                finished | (new_tok == cfg.eos_token_id), lengths, lengths + 1
+            run_scores, run_tokens, sel_src, hits, fin, unsat = process(
+                i, run_scores, run_tokens, logp.reshape(b, k, v), fin, unsat
             )
-            finished = finished | (new_tok == cfg.eos_token_id)
-
-            flat_src = (jnp.arange(b)[:, None] * k + beam_src).reshape(b * k)
+            flat_src = (jnp.arange(b)[:, None] * k + sel_src).reshape(b * k)
             cache = reorder_cache(cache, flat_src)
             token_counts = token_counts[flat_src]
-            token_counts = token_counts.at[jnp.arange(b * k), new_tok.reshape(-1)].add(1)
-            return tokens, new_scores, finished, lengths, token_counts, cache
+            token_counts = token_counts.at[
+                jnp.arange(b * k), run_tokens[:, :, i].reshape(-1)
+            ].add(1)
+            return (i + 1, cache, run_tokens, run_scores, fin, hits, unsat, token_counts)
 
-        tokens, scores, finished, lengths, token_counts, cache = jax.lax.fori_loop(
-            1, max_new, step_fn,
-            (tokens, scores, finished, lengths, token_counts, cache),
-        )
-        # length penalty, HF semantics: score / (full hypothesis length **
-        # penalty) where the hypothesis INCLUDES the prompt (decoder-only
-        # beam_search normalizes by input_ids length) and excludes the EOS
-        full_len = (prompt_len[:, None] + lengths).astype(jnp.float32)
-        norm = scores / jnp.power(full_len, cfg.length_penalty)
-        best = jnp.argmax(norm, axis=1)  # (B,)
-        return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+        state = (1, cache, run_tokens, run_scores, fin, hits, unsat, token_counts)
+        _, _, _, _, fin, _, _, _ = jax.lax.while_loop(cond, body, state)
+        # finished scores are kept sorted by the top_k merge: beam 0 is best
+        return fin[0][:, 0]
 
     # ---- public API -------------------------------------------------------
 
