@@ -222,8 +222,10 @@ class DataConfig:
     audio_buckets: List[int] = field(default_factory=lambda: [48000, 96000, 160000, 240000, 480000])
     num_workers: int = 2
     prefetch: int = 2
-    # "thread" (zero-copy handoff) or "process" (GIL-free scaling for the
-    # ~240 utt/s a 4-chip v5e host must feed; see data/loader.py)
+    # "thread" (zero-copy handoff), "process" (GIL-free scaling via
+    # shared-memory batch transport — parent cost ~15 ms/batch vs ~36 ms for
+    # "process_pickle"'s result pickle; measured model in data/loader.py +
+    # bench.py) for the ~240 utt/s a 4-chip v5e host must feed
     worker_type: str = "thread"
     shuffle_buffer: int = 2048
 

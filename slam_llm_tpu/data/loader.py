@@ -14,6 +14,16 @@ processes (``worker_type="process"``) for feeding rates where the
 GIL-holding share of per-utterance work — wav decode, tokenization, python
 collation — caps thread scaling; a v5e host must feed ~240 utt/s for its 4
 chips (replaces the reference's torch DataLoader worker processes).
+
+Process-pool transport (measured at the flagship 23.5 MB batch, bench.py):
+the default result pickle costs the PARENT ~36 ms/batch (pipe read at
+~0.5 GB/s + deserialize) — one parent core saturates near 660 utt/s at
+B=24. ``worker_type="process"`` therefore hands arrays over via POSIX
+shared memory: the worker writes the collated batch into a segment
+(+~27 ms, on the scaling side of the boundary) and the parent attaches
+(~0.01 ms) + copies out (~15 ms, GIL released) — ~2.4x more parent
+headroom with ordinary owning arrays and no segment lifetime on consumers.
+``worker_type="process_pickle"`` keeps the plain pickle transport.
 """
 
 from __future__ import annotations
@@ -39,6 +49,81 @@ def _process_worker_init(dataset, collator):
 def _process_worker_collate(idxs):
     dataset, collator = _WORKER_STATE
     return collator([dataset[j] for j in idxs])
+
+
+def _untrack_shm(name: str) -> None:
+    """CPython <3.13 registers a segment with the per-process resource
+    tracker on BOTH create and attach (bpo-39959); ownership here is explicit
+    (worker creates, parent unlinks), so both sides unregister to avoid the
+    tracker double-unlinking / warning on an already-removed name."""
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister("/" + name.lstrip("/"), "shared_memory")
+    except Exception:
+        pass
+
+
+def _process_worker_collate_shm(idxs):
+    """Collate, then hand the arrays to the parent through POSIX shared
+    memory instead of the result pickle. Measured at the flagship batch
+    shape (23.5 MB): the pickle path costs the PARENT ~36 ms/batch (pipe
+    read + deserialize — a single parent core saturates near 660 utt/s at
+    B=24), while attaching a shm segment costs ~0.01 ms — the parent-side
+    ceiling disappears and the +~27 ms segment write stays on the workers,
+    which scale with cores. Non-array fields (keys, targets) still ride the
+    (small) result pickle."""
+    from multiprocessing import shared_memory
+
+    dataset, collator = _WORKER_STATE
+    batch = collator([dataset[j] for j in idxs])
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+    nbytes = sum(v.nbytes for v in arrays.values())
+    if nbytes == 0:
+        return None, {}, rest
+    shm = shared_memory.SharedMemory(create=True, size=nbytes)
+    meta, off = {}, 0
+    try:
+        for k, v in arrays.items():
+            dst = np.ndarray(v.shape, v.dtype, buffer=shm.buf, offset=off)
+            np.copyto(dst, v)
+            meta[k] = (v.shape, v.dtype.str, off)
+            off += v.nbytes
+    finally:
+        shm.close()  # parent re-attaches by name and owns the unlink
+        _untrack_shm(shm.name)
+    return shm.name, meta, rest
+
+
+def _attach_shm_batch(name, meta, rest, copy: bool = True):
+    """Parent side: attach the segment, copy the arrays out (one memcpy,
+    ~15 ms at the flagship shape — still ~2.4x cheaper for the parent than
+    the pickle path's pipe-read + deserialize, and it runs in the producer
+    thread with the GIL released), then close + unlink. Copying keeps the
+    yielded batch an ordinary owning ndarray dict: no lifetime contract on
+    consumers, no /dev/shm leak windows. ``copy=False`` drops the data
+    (teardown path for never-consumed futures)."""
+    from multiprocessing import shared_memory
+
+    if name is None:
+        return dict(rest)
+    shm = shared_memory.SharedMemory(name=name)
+    try:
+        batch = dict(rest)
+        if copy:
+            for k, (shape, dtype, off) in meta.items():
+                view = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf, offset=off)
+                batch[k] = view.copy()
+    finally:
+        shm.close()
+        try:
+            shm.unlink()
+        except FileNotFoundError:
+            pass
+        # no parent-side unregister: this Python registers only on CREATE
+        # (the worker), and unlink() already unregisters locally if needed
+    return batch
 
 
 class LengthBasedBatchSampler:
@@ -147,19 +232,25 @@ class PrefetchLoader:
         collator: Optional[Callable] = None,
         num_workers: int = 2,
         prefetch: int = 2,
-        worker_type: str = "thread",  # "thread" | "process"
+        worker_type: str = "thread",  # "thread" | "process" | "process_pickle"
     ):
         self.dataset = dataset
         self.sampler = sampler
         self.collator = collator or dataset.collator
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
-        if worker_type not in ("thread", "process"):
-            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
+        if worker_type not in ("thread", "process", "process_pickle"):
+            raise ValueError(
+                f"worker_type must be thread|process|process_pickle, got {worker_type!r}"
+            )
+        # "process" hands batches over via POSIX shared memory (the parent
+        # cost per batch drops from ~36 ms pickle+pipe to ~0.01 ms attach at
+        # the flagship shape — see _process_worker_collate_shm);
+        # "process_pickle" keeps the plain result-pickle transport
         self.worker_type = worker_type
 
     def _make_pool(self):
-        if self.worker_type == "process":
+        if self.worker_type in ("process", "process_pickle"):
             import multiprocessing as mp
 
             return ProcessPoolExecutor(
@@ -172,6 +263,8 @@ class PrefetchLoader:
 
     def _submit(self, pool, idxs):
         if self.worker_type == "process":
+            return pool.submit(_process_worker_collate_shm, idxs)
+        if self.worker_type == "process_pickle":
             return pool.submit(_process_worker_collate, idxs)
         return pool.submit(lambda ii: self.collator([self.dataset[j] for j in ii]), idxs)
 
@@ -192,10 +285,10 @@ class PrefetchLoader:
                     pass
 
         def produce():
+            pending = []
             try:
                 with self._make_pool() as pool:
                     # pipeline: submit loads for upcoming batches, keep order
-                    pending = []
                     it = iter(self.sampler)
                     depth = max(self.prefetch + 1, self.num_workers)
 
@@ -214,6 +307,8 @@ class PrefetchLoader:
                         if stop.is_set():
                             return
                         batch = pending.pop(0).result()
+                        if self.worker_type == "process":
+                            batch = _attach_shm_batch(*batch)
                         submit_next()
                         # bounded put that keeps watching stop: a consumer
                         # that abandons the iterator (e.g. next(iter(l)))
@@ -223,10 +318,20 @@ class PrefetchLoader:
             except Exception as e:  # surface worker errors to the consumer
                 _put_best_effort(e)
             finally:
+                # segments created by workers for never-consumed futures
+                # would outlive the run as /dev/shm files — collect + unlink
+                if self.worker_type == "process":
+                    for fut in pending:
+                        try:
+                            res = fut.result(timeout=30)
+                        except Exception:
+                            continue
+                        _attach_shm_batch(*res, copy=False)
                 _put_best_effort(self._END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+
         try:
             while True:
                 item = q.get()

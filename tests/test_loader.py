@@ -136,6 +136,48 @@ def test_prefetch_process_workers_match_thread_workers():
         np.testing.assert_array_equal(a["x"], b["x"])
 
 
+def test_prefetch_process_shm_transport_matches_and_does_not_leak():
+    """worker_type="process" (shared-memory transport) must yield batches
+    identical to the thread pool — incl. non-array fields riding the result
+    pickle — and leave NO /dev/shm segments behind."""
+    import glob
+
+    class _MixedDataset(_ListDataset):
+        def collator(self, samples):
+            out = super().collator(samples)
+            out["keys"] = [f"k{int(s['x'][0])}" for s in samples]
+            return out
+
+    before = set(glob.glob("/dev/shm/psm_*"))
+    ds = _MixedDataset(12)
+    sampler = LengthBasedBatchSampler(
+        [ds.sort_key(i) for i in range(len(ds))], 3,
+        drop_last=False, shuffle=False, seed=0,
+    )
+    thread = list(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2))
+    shm = list(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2,
+                              worker_type="process"))
+    pickle_t = list(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2,
+                                   worker_type="process_pickle"))
+    assert len(thread) == len(shm) == len(pickle_t) == 4
+    for a, b, c in zip(thread, shm, pickle_t):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["x"], c["x"])
+        assert a["keys"] == b["keys"] == c["keys"]
+        assert b["x"].flags.owndata  # copied out: ordinary owning arrays
+    # abandoned-iterator path must also release worker-created segments
+    it = iter(PrefetchLoader(ds, sampler, num_workers=2, prefetch=2,
+                             worker_type="process"))
+    next(it)
+    del it
+    import gc, time
+
+    gc.collect()
+    time.sleep(0.5)
+    leaked = set(glob.glob("/dev/shm/psm_*")) - before
+    assert not leaked, leaked
+
+
 def test_prefetch_process_worker_error_surfaces():
     class _Boom(_ListDataset):
         def __getitem__(self, i):
