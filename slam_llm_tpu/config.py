@@ -105,9 +105,11 @@ class ShardConfig:
     # FROZEN-base W8A8: "int8" stores decoder dense kernels quantized
     # (per-output-channel scales) and runs their dots s8 x s8 on the MXU at
     # 2x the bf16 rate (ops/quant.py). Requires freeze_llm. base_quant_bwd
-    # picks the dx dot dtype: int8 (2x, per-row dy quantization) | bf16 (exact).
+    # picks the dx dot dtype: bf16 (exact — quality default; 1.1B evidence
+    # in QUALITY_INT8.json) | int8_sr (2x rate, stochastic rounding) |
+    # int8 (2x rate, deterministic — measurably biased, opt-in only).
     base_quant: str = "none"  # none | int8
-    base_quant_bwd: str = "int8"
+    base_quant_bwd: str = "bf16"
 
 
 @dataclass
@@ -256,6 +258,9 @@ class DecodeConfig:
 
     max_new_tokens: int = 200
     num_beams: int = 4
+    # top-N beam hypotheses per utterance (reference slam_aac's CLAP-Refine
+    # candidate pool); the pred log gets N lines per key
+    num_return_sequences: int = 1
     do_sample: bool = False
     min_length: int = 1
     top_p: float = 1.0

@@ -29,6 +29,11 @@ NEG_INF = -1.0e9
 class GenerationConfig:
     max_new_tokens: int = 200
     num_beams: int = 4
+    # beam search only: return the top-N finished hypotheses per utterance
+    # (HF semantics; reference slam_aac passes num_return_sequences for the
+    # CLAP-Refine candidate pool, examples/slam_aac/model/slam_model_aac.py:222-269).
+    # generate() returns (B * num_return_sequences, max_new) row-major per key
+    num_return_sequences: int = 1
     do_sample: bool = False
     temperature: float = 1.0
     top_k: int = 0
@@ -348,8 +353,12 @@ class Generator:
 
         state = (1, cache, run_tokens, run_scores, fin, hits, unsat, token_counts)
         _, _, _, _, fin, _, _, _ = jax.lax.while_loop(cond, body, state)
-        # finished scores are kept sorted by the top_k merge: beam 0 is best
-        return fin[0][:, 0]
+        # finished scores are kept sorted by the top_k merge: beam 0 is best;
+        # top-N candidates flatten row-major per utterance (HF layout)
+        n = min(max(1, cfg.num_return_sequences), k)
+        if n == 1:
+            return fin[0][:, 0]
+        return fin[0][:, :n].reshape(b * n, max_new)
 
     # ---- public API -------------------------------------------------------
 

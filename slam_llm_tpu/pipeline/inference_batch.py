@@ -58,6 +58,7 @@ def main(cfg: RunConfig):
     gen_cfg = GenerationConfig(
         max_new_tokens=dc.max_new_tokens,
         num_beams=dc.num_beams,
+        num_return_sequences=getattr(dc, "num_return_sequences", 1),
         do_sample=dc.do_sample,
         temperature=dc.temperature,
         top_k=dc.top_k,
@@ -87,9 +88,18 @@ def main(cfg: RunConfig):
             }, rng=jax.random.fold_in(base_rng, bi + rank * 100003))
             tokens = strip_after_eos(tokens, gen_cfg.eos_token_id, gen_cfg.pad_token_id)
             t_total += time.perf_counter() - t0
-            for key, target, row in zip(batch["keys"], batch["targets"], tokens):
-                text = tokenizer.decode(row)
-                f_pred.write(f"{key}\t{text}\n")
+            # beam search with num_return_sequences > 1 returns N rows per
+            # utterance (row-major); the pred log carries N lines per key —
+            # clap_refine.read_candidates collects them into the rerank pool
+            nrs = (
+                min(max(1, gen_cfg.num_return_sequences), gen_cfg.num_beams)
+                if gen_cfg.num_beams > 1 and not gen_cfg.do_sample
+                else 1
+            )
+            for i, (key, target) in enumerate(zip(batch["keys"], batch["targets"])):
+                for j in range(nrs):
+                    text = tokenizer.decode(tokens[i * nrs + j])
+                    f_pred.write(f"{key}\t{text}\n")
                 f_gt.write(f"{key}\t{target}\n")
                 n += 1
             if "audio_seconds" in batch:

@@ -241,6 +241,44 @@ def test_decode_token_identical_with_hf(sandwich, num_beams, eos):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+@pytest.mark.parametrize("eos", [EOS, None])
+def test_num_return_sequences_matches_hf(sandwich, eos):
+    """Beam-4 with num_return_sequences=2 (the slam_aac CLAP-Refine pool):
+    rows (B*2, L) token-identical with HF, best hypothesis first."""
+    llama, whisper, proj, d_llama, d_whisper = sandwich
+    from slam_llm_tpu.inference.generate import GenerationConfig, Generator
+    from slam_llm_tpu.models.slam_model import SLAMModel
+
+    model = SLAMModel(_jax_cfg())
+    batch = _make_batch()
+    params = _converted_params(model, batch, proj, d_llama, d_whisper)
+    max_new = 12
+
+    gen = Generator(
+        model,
+        GenerationConfig(
+            num_beams=4, num_return_sequences=2, max_new_tokens=max_new,
+            length_penalty=1.0, eos_token_id=EOS if eos is not None else -3,
+            pad_token_id=PAD, bos_token_id=BOS,
+        ),
+    )
+    got = gen.generate(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    assert got.shape[0] == 2 * batch["input_ids"].shape[0]
+
+    emb = oracle_embeds(whisper, proj, llama, batch)
+    with torch.no_grad():
+        want = llama.generate(
+            inputs_embeds=emb,
+            attention_mask=torch.from_numpy(np.asarray(batch["attention_mask"])).long(),
+            max_new_tokens=max_new, num_beams=4, num_return_sequences=2,
+            do_sample=False, eos_token_id=eos, pad_token_id=PAD,
+            length_penalty=1.0, early_stopping=False,
+        ).numpy()
+    if want.shape[1] < max_new:
+        want = np.pad(want, ((0, 0), (0, max_new - want.shape[1])), constant_values=PAD)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def _build_tokenizer(d_llama):
     """Minimal HF-loadable word-level tokenizer covering the test corpus."""
     from tokenizers import Tokenizer
