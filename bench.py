@@ -294,6 +294,11 @@ def main():
 
     headline_quant = os.environ.get("BENCH_QUANT", "int8")
     other = "none" if headline_quant == "int8" else "int8"
+    t_start = time.perf_counter()
+    # aux measurements (bf16 cross-check, decode RTF) each cost a fresh
+    # compile on a cold cache — bound the total so a slow remote-compile
+    # environment still records the headline within the driver's budget
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 
     flops_utt = _train_flops_per_utt()
     print(
@@ -305,10 +310,18 @@ def main():
     utt = _measure_train(headline_quant)
     results = {headline_quant: utt}
     if os.environ.get("BENCH_BOTH", "1") != "0":
-        try:
-            results[other] = _measure_train(other)
-        except Exception as e:  # aux path must never sink the headline
-            print(f"# {other} aux measurement failed: {e}", file=sys.stderr)
+        if time.perf_counter() - t_start > budget_s * 0.5:
+            print(
+                f"# skipping {other} aux measurement: headline already used "
+                f"{time.perf_counter()-t_start:.0f}s (cold compiles); last "
+                f"recorded values in BASELINE.md",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                results[other] = _measure_train(other)
+            except Exception as e:  # aux path must never sink the headline
+                print(f"# {other} aux measurement failed: {e}", file=sys.stderr)
 
     utt_bf16 = results.get("none")
     utt_int8 = results.get("int8")
@@ -355,10 +368,17 @@ def main():
     print("# per-op evidence: PERF.md; int8 quality gates: QUALITY_INT8.json", file=sys.stderr)
 
     if os.environ.get("BENCH_DECODE", "1") != "0":
-        try:
-            bench_decode()
-        except Exception as e:
-            print(f"# decode aux measurement failed: {e}", file=sys.stderr)
+        if time.perf_counter() - t_start > budget_s * 0.75:
+            print(
+                "# skipping decode aux measurement (time budget); last recorded "
+                "values in BENCH_DECODE_r*.json",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                bench_decode()
+            except Exception as e:
+                print(f"# decode aux measurement failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

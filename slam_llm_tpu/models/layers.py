@@ -104,11 +104,12 @@ class DenseGeneralLora(nn.Module):
     pretranspose_bwd: bool = False
     # FROZEN-base W8A8: store the kernel as (kernel_q int8, kernel_scale f32)
     # and run the dot s8 x s8 on the MXU at 2x the bf16 rate (ops/quant.py).
-    # quant_bwd picks the dx dot dtype: "int8" (2x, straight-through dy
-    # quantization) or "bf16" (exact). Requires the base frozen — enforced by
+    # quant_bwd picks the dx dot dtype: "bf16" (exact — quality default),
+    # "int8_sr" (2x rate, stochastically-rounded dy) or "int8" (2x,
+    # deterministic — biased). Requires the base frozen — enforced by
     # train.state.build_trainer.
     quant: str = "none"
-    quant_bwd: str = "int8"
+    quant_bwd: str = "bf16"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -139,7 +140,17 @@ class DenseGeneralLora(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
-            y = int8_dot(x.astype(self.dtype), kernel_q, kernel_scale, bwd=self.quant_bwd)
+            bwd_seed = None
+            if self.quant_bwd == "int8_sr" and self.has_rng("quant"):
+                # per-module (and, under nn.scan split_rngs, per-layer) seed
+                # for the stochastically-rounded dy quantization; absent rng
+                # stream (eval / pure forward) falls back to a fixed seed —
+                # the backward never runs there
+                bwd_seed = jax.random.bits(self.make_rng("quant"), dtype=jnp.uint32)
+            y = int8_dot(
+                x.astype(self.dtype), kernel_q, kernel_scale,
+                bwd=self.quant_bwd, bwd_seed=bwd_seed,
+            )
             return self._bias_and_lora(x, y, in_features, deterministic)
         kernel = self.param(
             "kernel",

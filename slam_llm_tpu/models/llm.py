@@ -74,10 +74,14 @@ class LLMConfig:
     # FROZEN-base W8A8 (ops/quant.py): "int8" stores decoder dense kernels as
     # (int8, per-channel f32 scale) and runs their dots s8 x s8 on the MXU at
     # 2x the bf16 rate; embeddings / lm_head / norms / LoRA stay bf16.
-    # base_quant_bwd picks the dx dot: "int8" (2x, per-row dy quantization)
-    # or "bf16" (exact). Requires freeze_llm (train.state.build_trainer).
+    # base_quant_bwd picks the dx dot: "bf16" (exact — the QUALITY-SAFE
+    # default: measured 1.1B LoRA loss-trajectory delta 0.18 nats vs 0.75
+    # for "int8_sr" and 1.63 for "int8" at 300 steps, QUALITY_INT8.json),
+    # "int8_sr" (2x-rate dx dot, stochastically-rounded dy quantization) or
+    # "int8" (2x, deterministic rounding — biased; kept for comparison).
+    # Requires freeze_llm (train.state.build_trainer).
     base_quant: str = "none"  # none | int8
-    base_quant_bwd: str = "int8"  # int8 | bf16
+    base_quant_bwd: str = "bf16"  # bf16 | int8_sr | int8
     # compile strategy
     scan_layers: bool = True
     # lax.scan unroll factor for the layer loop: >1 trades compile time for
@@ -403,7 +407,7 @@ class _ScannedDecoder(nn.Module):
         scan = nn.scan(
             body,
             variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
+            split_rngs={"params": True, "dropout": True, "quant": True},
             in_axes=0,
             out_axes=0,
             length=c.n_layers,

@@ -338,7 +338,7 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
             "remat_policy": tc.shard.remat_policy,
             "bwd_pretranspose": getattr(tc.shard, "bwd_pretranspose", False),
             "base_quant": getattr(tc.shard, "base_quant", "none"),
-            "base_quant_bwd": getattr(tc.shard, "base_quant_bwd", "int8"),
+            "base_quant_bwd": getattr(tc.shard, "base_quant_bwd", "bf16"),
         }
     )
 

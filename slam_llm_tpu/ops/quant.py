@@ -104,16 +104,19 @@ def _fwd_value(x_q, x_s, w_q, w_scale, out_dtype):
     return (y * x_s * w_scale.astype(jnp.float32)).astype(out_dtype)
 
 
-def _int8_dx(dy, w_q, w_scale, out_dtype):
+def _int8_dx(dy, w_q, w_scale, out_dtype, seed=None):
     """int8 dx dot: dy (..., F) x w_q^T -> (..., K) at the s8 MXU rate.
 
     The per-output-channel w_scale sits INSIDE the contraction
     (dx_i = sum_f dy_f * w_scale_f * w_q[i, f]) so it folds into dy before
     quantization — the rowquant kernel's ``fold`` argument applies it in the
-    same fused scale-amax-round pass."""
+    same fused scale-amax-round pass. ``seed`` switches the dy rounding to
+    STOCHASTIC (unbiased): deterministic round-to-nearest zeroes every dy
+    entry under scale/2, which measurably stalls LoRA training at the 1.1B
+    scale (QUALITY_INT8.json)."""
     from slam_llm_tpu.ops.kernels.rowquant import rowquant
 
-    dy_q, s = rowquant(dy, fold=w_scale)
+    dy_q, s = rowquant(dy, fold=w_scale, seed=seed)
     return (_s8_dot(dy_q, w_q, 1).astype(jnp.float32) * s).astype(out_dtype)
 
 
@@ -152,6 +155,29 @@ _int8_dot_bwd8.defvjp(_int8_dot_bwd8_fwd, _int8_dot_bwd8_bwd)
 
 
 @jax.custom_vjp
+def _int8_dot_bwd8sr(x, x_q, x_s, w_q, w_scale, seed):
+    return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
+
+
+def _int8_dot_bwd8sr_fwd(x, x_q, x_s, w_q, w_scale, seed):
+    return (
+        _fwd_value(x_q, x_s, w_q, w_scale, x.dtype),
+        (w_q, w_scale, jnp.zeros((0,), x.dtype), seed),
+    )
+
+
+def _int8_dot_bwd8sr_bwd(res, dy):
+    # stochastically-rounded int8 dx dot: same 2x MXU rate as "int8", but
+    # the dy quantization is UNBIASED (E[q] = dy/s) — the quality default
+    w_q, w_scale, x_proto, seed = res
+    dx = _int8_dx(dy, w_q, w_scale, x_proto.dtype, seed=seed)
+    return (dx,) + _x_aux_cotangents(dx, dy, w_q, w_scale) + (_float0(seed),)
+
+
+_int8_dot_bwd8sr.defvjp(_int8_dot_bwd8sr_fwd, _int8_dot_bwd8sr_bwd)
+
+
+@jax.custom_vjp
 def _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale):
     return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
 
@@ -185,16 +211,21 @@ def int8_dot(
     *,
     bwd: str = "int8",
     pre_quant: Tuple[jnp.ndarray, jnp.ndarray] = None,
+    bwd_seed: jnp.ndarray = None,
 ):
     """``x @ dequant(w_q)`` computed s8 x s8 on the MXU.
 
     x (..., K) any float dtype; w_q int8 (K, F); w_scale fp32 (F,).
     ``pre_quant``: optional (x_q, x_s) from ``act_quant`` — callers with
     several denses over ONE input (q/k/v, gate/up) quantize it once and share.
-    ``bwd``: "int8" quantizes dy per-row for a 2x-rate dx dot; "bf16"
-    contracts the dequantized weight exactly. The weight cotangent is zero by
-    construction — train.state.build_trainer enforces freeze_llm so a stale
-    quantization can never silently diverge from a training base.
+    ``bwd``: "int8_sr" quantizes dy per-row with STOCHASTIC rounding for a
+    2x-rate dx dot (unbiased — the quality default; needs ``bwd_seed``);
+    "int8" is the deterministic-rounding variant (its round-to-nearest zeroes
+    dy entries under scale/2 and measurably stalls 1.1B LoRA training —
+    QUALITY_INT8.json); "bf16" contracts the dequantized weight exactly.
+    The weight cotangent is zero by construction — train.state.build_trainer
+    enforces freeze_llm so a stale quantization can never silently diverge
+    from a training base.
 
     Gradient flows ONLY through the ``x`` argument (straight-through); the
     (x_q, x_s) operands are data-only duplicates of the same value.
@@ -206,11 +237,17 @@ def int8_dot(
     # itself — otherwise the max/divide VJP runs select/reduce ops per dense
     # just to propagate structural zeros (measured ~0.4 ms/layer)
     x_q, x_s = jax.tree_util.tree_map(jax.lax.stop_gradient, pre_quant)
+    if bwd == "int8_sr":
+        if bwd_seed is None:
+            bwd_seed = jnp.uint32(0)
+        return _int8_dot_bwd8sr(
+            x, x_q, x_s, w_q, w_scale, jax.lax.stop_gradient(bwd_seed)
+        )
     if bwd == "int8":
         return _int8_dot_bwd8(x, x_q, x_s, w_q, w_scale)
     if bwd == "bf16":
         return _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale)
-    raise ValueError(f"int8_dot bwd={bwd!r}: expected 'int8' or 'bf16'")
+    raise ValueError(f"int8_dot bwd={bwd!r}: expected 'int8_sr', 'int8' or 'bf16'")
 
 
 def int8_kernel_init(kernel_init):

@@ -189,12 +189,22 @@ class Trainer:
     def build_steps(self, use_dropout: bool = False) -> None:
         model, tx, sched = self.model, self.tx, self.sched
 
+        needs_quant_rng = (
+            getattr(getattr(self.slam_cfg, "llm", None), "base_quant_bwd", "") == "int8_sr"
+            and getattr(getattr(self.slam_cfg, "llm", None), "base_quant", "none") != "none"
+        )
+
         def train_step(state: TrainState, batch, dropout_rng):
             def loss_fn(trainable):
                 params = merge_params(trainable, state["frozen"])
-                rngs = {"dropout": dropout_rng} if use_dropout else None
+                rngs = {"dropout": dropout_rng} if use_dropout else {}
+                if needs_quant_rng:
+                    # fresh per step (scan_step splits dropout_rng per step):
+                    # seeds the stochastically-rounded dy quantization
+                    rngs["quant"] = jax.random.fold_in(dropout_rng, 7919)
                 out = model.apply(
-                    {"params": params}, batch, deterministic=not use_dropout, rngs=rngs
+                    {"params": params}, batch, deterministic=not use_dropout,
+                    rngs=rngs or None,
                 )
                 return out["loss"], out["acc"]
 
