@@ -106,8 +106,9 @@ class ShardConfig:
     # (per-output-channel scales) and runs their dots s8 x s8 on the MXU at
     # 2x the bf16 rate (ops/quant.py). Requires freeze_llm. base_quant_bwd
     # picks the dx dot dtype: bf16 (exact — quality default; 1.1B evidence
-    # in QUALITY_INT8.json) | int8_sr (2x rate, stochastic rounding) |
-    # int8 (2x rate, deterministic — measurably biased, opt-in only).
+    # in QUALITY_INT8.json) | int8_rot (2x rate, Hadamard-rotated dy +
+    # stochastic rounding — the best-quality fast backward) | int8_sr (2x
+    # rate, stochastic rounding) | int8 (2x, deterministic — biased).
     base_quant: str = "none"  # none | int8
     base_quant_bwd: str = "bf16"
 

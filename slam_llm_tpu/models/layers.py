@@ -118,6 +118,8 @@ class DenseGeneralLora(nn.Module):
             from slam_llm_tpu.ops.quant import (
                 int8_dot,
                 int8_kernel_init,
+                int8_rot_kernel_init,
+                int8_rot_scale_init,
                 int8_scale_init,
             )
 
@@ -140,8 +142,32 @@ class DenseGeneralLora(nn.Module):
                 (self.features,),
                 jnp.float32,
             )
+            w_rot = None
+            if self.quant_bwd == "int8_rot":
+                # write-once rotated backward weight quant(W @ R): dx =
+                # (dy R)(W R)^T at the s8 MXU rate with dy's outliers
+                # flattened by the in-kernel Hadamard rotation before its
+                # stochastic int8 quantization (ops/quant.rotate_quantize_bwd)
+                kernel_qr = self.param(
+                    "kernel_qr",
+                    nn.with_logical_partitioning(
+                        int8_rot_kernel_init(self.kernel_init), self.kernel_axes
+                    ),
+                    (in_features, self.features),
+                    jnp.int8,
+                )
+                kernel_scale_r = self.param(
+                    "kernel_scale_r",
+                    nn.with_logical_partitioning(
+                        int8_rot_scale_init(self.kernel_init, self.features),
+                        (self.kernel_axes[0],),
+                    ),
+                    (in_features,),
+                    jnp.float32,
+                )
+                w_rot = (kernel_qr, kernel_scale_r)
             bwd_seed = None
-            if self.quant_bwd == "int8_sr" and self.has_rng("quant"):
+            if self.quant_bwd in ("int8_sr", "int8_rot") and self.has_rng("quant"):
                 # per-module (and, under nn.scan split_rngs, per-layer) seed
                 # for the stochastically-rounded dy quantization; absent rng
                 # stream (eval / pure forward) falls back to a fixed seed —
@@ -149,7 +175,7 @@ class DenseGeneralLora(nn.Module):
                 bwd_seed = jax.random.bits(self.make_rng("quant"), dtype=jnp.uint32)
             y = int8_dot(
                 x.astype(self.dtype), kernel_q, kernel_scale,
-                bwd=self.quant_bwd, bwd_seed=bwd_seed,
+                bwd=self.quant_bwd, bwd_seed=bwd_seed, w_rot=w_rot,
             )
             return self._bias_and_lora(x, y, in_features, deterministic)
         kernel = self.param(

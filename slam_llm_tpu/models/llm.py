@@ -77,11 +77,15 @@ class LLMConfig:
     # base_quant_bwd picks the dx dot: "bf16" (exact — the QUALITY-SAFE
     # default: measured 1.1B LoRA loss-trajectory delta 0.18 nats vs 0.75
     # for "int8_sr" and 1.63 for "int8" at 300 steps, QUALITY_INT8.json),
-    # "int8_sr" (2x-rate dx dot, stochastically-rounded dy quantization) or
+    # "int8_rot" (2x rate + block-diagonal Hadamard rotation of dy before
+    # its SR quantization — flattens per-row outliers so the amax scale
+    # stops crushing small gradient entries; the best-quality fast backward,
+    # 1.1B delta 0.36 vs 0.75 for plain SR; costs one extra int8 weight
+    # copy in HBM), "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).
     # Requires freeze_llm (train.state.build_trainer).
     base_quant: str = "none"  # none | int8
-    base_quant_bwd: str = "bf16"  # bf16 | int8_sr | int8
+    base_quant_bwd: str = "bf16"  # bf16 | int8_rot | int8_sr | int8
     # compile strategy
     scan_layers: bool = True
     # lax.scan unroll factor for the layer loop: >1 trades compile time for

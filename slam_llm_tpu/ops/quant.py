@@ -104,6 +104,37 @@ def _fwd_value(x_q, x_s, w_q, w_scale, out_dtype):
     return (y * x_s * w_scale.astype(jnp.float32)).astype(out_dtype)
 
 
+def rotate_quantize_bwd(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward-side rotated weight: ``(quant(w @ R), scale)`` for the
+    ``int8_rot`` dx dot, where R is the fixed block-diagonal orthonormal
+    Hadamard (ops/kernels/rowquant.rotate_cols). dx = dy Wᵀ = (dy R)(W R)ᵀ,
+    so the rotation cancels exactly in expectation while flattening dy's
+    per-row outliers before its int8 quantization.
+
+    ``w`` (..., K, F) fp — usually the DEQUANTIZED forward weight, so the
+    backward approximates the same matrix the forward used. Quantized
+    per-K-row over the rotated F axis: scale shape (..., K)."""
+    from slam_llm_tpu.ops.kernels.rowquant import rotate_cols
+
+    wr = rotate_cols(w.astype(jnp.float32))
+    amax = jnp.max(jnp.abs(wr), axis=-1)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.round(wr / scale[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _int8_dx_rot(dy, wr_q, wr_scale, out_dtype, seed):
+    """Rotated int8 dx dot: SR-quantize (dy R) in one fused Pallas pass (the
+    rotation happens in-VMEM), contract the write-once rotated int8 weight
+    at the s8 MXU rate, and apply both scales post-dot:
+    dx_k = s_dy(row) * s_w[k] * (z @ wr_qᵀ)_k."""
+    from slam_llm_tpu.ops.kernels.rowquant import rowquant
+
+    z, s_dy = rowquant(dy, seed=seed, rotate=True)
+    out = _s8_dot(z, wr_q, wr_q.ndim - 1).astype(jnp.float32)
+    return (out * s_dy * wr_scale.astype(jnp.float32)).astype(out_dtype)
+
+
 def _int8_dx(dy, w_q, w_scale, out_dtype, seed=None):
     """int8 dx dot: dy (..., F) x w_q^T -> (..., K) at the s8 MXU rate.
 
@@ -178,6 +209,43 @@ _int8_dot_bwd8sr.defvjp(_int8_dot_bwd8sr_fwd, _int8_dot_bwd8sr_bwd)
 
 
 @jax.custom_vjp
+def _int8_dot_bwdrot(x, x_q, x_s, w_q, w_scale, wr_q, wr_scale, seed):
+    return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
+
+
+def _int8_dot_bwdrot_fwd(x, x_q, x_s, w_q, w_scale, wr_q, wr_scale, seed):
+    return (
+        _fwd_value(x_q, x_s, w_q, w_scale, x.dtype),
+        (wr_q, wr_scale, jnp.zeros((0,), x.dtype), seed),
+    )
+
+
+def _int8_dot_bwdrot_bwd(res, dy):
+    # Hadamard-rotated SR int8 dx: same 2x MXU rate as "int8_sr", but dy is
+    # rotated in-VMEM before quantization so per-row outliers stop crushing
+    # small gradient entries (dx = (dy R)(W R)^T; R orthonormal)
+    wr_q, wr_scale, x_proto, seed = res
+    dx = _int8_dx_rot(dy, wr_q, wr_scale, x_proto.dtype, seed)
+    # zero cotangents: x_q (int8 -> float0), x_s, the forward (w_q, w_scale)
+    # pair — w_q shares wr_q's (..., K, F) shape, w_scale is (..., F) —
+    # the rotated (wr_q, wr_scale) pair, and the seed
+    w_scale_zeros = jnp.zeros(wr_q.shape[:-2] + (wr_q.shape[-1],), jnp.float32)
+    return (
+        dx,
+        np.zeros(dx.shape, dtype=jax.dtypes.float0),
+        jnp.zeros(dy.shape[:-1] + (1,), jnp.float32),
+        _float0(wr_q),
+        w_scale_zeros,
+        _float0(wr_q),
+        jnp.zeros_like(wr_scale),
+        _float0(seed),
+    )
+
+
+_int8_dot_bwdrot.defvjp(_int8_dot_bwdrot_fwd, _int8_dot_bwdrot_bwd)
+
+
+@jax.custom_vjp
 def _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale):
     return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
 
@@ -212,14 +280,19 @@ def int8_dot(
     bwd: str = "int8",
     pre_quant: Tuple[jnp.ndarray, jnp.ndarray] = None,
     bwd_seed: jnp.ndarray = None,
+    w_rot: Tuple[jnp.ndarray, jnp.ndarray] = None,
 ):
     """``x @ dequant(w_q)`` computed s8 x s8 on the MXU.
 
     x (..., K) any float dtype; w_q int8 (K, F); w_scale fp32 (F,).
     ``pre_quant``: optional (x_q, x_s) from ``act_quant`` — callers with
     several denses over ONE input (q/k/v, gate/up) quantize it once and share.
-    ``bwd``: "int8_sr" quantizes dy per-row with STOCHASTIC rounding for a
-    2x-rate dx dot (unbiased — the quality default; needs ``bwd_seed``);
+    ``bwd``: "int8_rot" rotates dy with the block-diagonal Hadamard in the
+    fused rowquant pass, SR-quantizes, and contracts the write-once rotated
+    weight ``w_rot`` — the best-quality 2x-rate dx dot (1.1B traj delta
+    0.36 vs 0.75 for plain SR, QUALITY_INT8.json trajectory_modes); needs
+    ``w_rot=(wr_q, wr_scale)`` from ``rotate_quantize_bwd`` and ``bwd_seed``.
+    "int8_sr" quantizes dy per-row with STOCHASTIC rounding, unrotated;
     "int8" is the deterministic-rounding variant (its round-to-nearest zeroes
     dy entries under scale/2 and measurably stalls 1.1B LoRA training —
     QUALITY_INT8.json); "bf16" contracts the dequantized weight exactly.
@@ -237,6 +310,15 @@ def int8_dot(
     # itself — otherwise the max/divide VJP runs select/reduce ops per dense
     # just to propagate structural zeros (measured ~0.4 ms/layer)
     x_q, x_s = jax.tree_util.tree_map(jax.lax.stop_gradient, pre_quant)
+    if bwd == "int8_rot":
+        if w_rot is None:
+            raise ValueError("int8_dot bwd='int8_rot' needs w_rot=(wr_q, wr_scale)")
+        if bwd_seed is None:
+            bwd_seed = jnp.uint32(0)
+        return _int8_dot_bwdrot(
+            x, x_q, x_s, w_q, w_scale, w_rot[0], w_rot[1],
+            jax.lax.stop_gradient(bwd_seed),
+        )
     if bwd == "int8_sr":
         if bwd_seed is None:
             bwd_seed = jnp.uint32(0)
@@ -247,7 +329,32 @@ def int8_dot(
         return _int8_dot_bwd8(x, x_q, x_s, w_q, w_scale)
     if bwd == "bf16":
         return _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale)
-    raise ValueError(f"int8_dot bwd={bwd!r}: expected 'int8_sr', 'int8' or 'bf16'")
+    raise ValueError(
+        f"int8_dot bwd={bwd!r}: expected 'int8_rot', 'int8_sr', 'int8' or 'bf16'"
+    )
+
+
+def int8_rot_kernel_init(kernel_init):
+    """Init for the ``int8_rot`` backward weight ``kernel_qr``: independent
+    fp32 draw -> rotate+quantize (real runs overlay a checkpoint, where
+    ``quantize_base_params(..., bwd='int8_rot')`` keeps the pair exact)."""
+
+    def init(key, shape, dtype=jnp.int8):
+        w = kernel_init(key, shape, jnp.float32)
+        return rotate_quantize_bwd(w)[0]
+
+    return init
+
+
+def int8_rot_scale_init(kernel_init, out_features: int):
+    """Init for ``kernel_scale_r`` (shape (..., K)): independent draw of the
+    full (..., K, F) kernel, rotated and reduced per-K-row."""
+
+    def init(key, shape, dtype=jnp.float32):
+        w = kernel_init(key, tuple(shape) + (out_features,), jnp.float32)
+        return rotate_quantize_bwd(w)[1].astype(dtype)
+
+    return init
 
 
 def int8_kernel_init(kernel_init):
@@ -273,28 +380,41 @@ def int8_scale_init(kernel_init, in_features: int):
     return init
 
 
-def quantize_base_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_base_params(params: Dict[str, Any], bwd: str = "bf16") -> Dict[str, Any]:
     """Tree transform: replace every decoder-dense fp ``kernel`` with the
     (``kernel_q``, ``kernel_scale``) pair the ``base_quant='int8'`` module
     structure expects. Applies only under a ``decoder`` path and only to
     ``PROJ_NAMES`` modules — embeddings, lm_head, norms and LoRA leaves pass
-    through untouched. Leaves already-quantized nodes alone (idempotent)."""
+    through untouched. Leaves already-quantized nodes alone (idempotent).
+
+    ``bwd='int8_rot'`` additionally derives the rotated backward pair
+    (``kernel_qr``, ``kernel_scale_r``) from the DEQUANTIZED forward weight
+    (so dx approximates the matrix the forward actually used). The rot pair
+    is ALWAYS recomputed, never trusted — module.init draws it independently
+    of ``kernel_q`` and a loader may carry a stale copy (the same rule
+    ``models.layers.refresh_pretransposed`` applies to ``kernel_t``)."""
 
     def walk(node, in_decoder):
         if not isinstance(node, dict):
             return node
         out = {}
         for k, v in node.items():
-            if (
-                in_decoder
-                and k in PROJ_NAMES
-                and isinstance(v, dict)
-                and "kernel" in v
-                and "kernel_q" not in v
+            if in_decoder and k in PROJ_NAMES and isinstance(v, dict) and (
+                "kernel" in v or "kernel_q" in v
             ):
-                q, s = quantize_int8(jnp.asarray(v["kernel"]))
-                nv = {kk: vv for kk, vv in v.items() if kk != "kernel"}
-                nv["kernel_q"], nv["kernel_scale"] = q, s
+                nv = dict(v)
+                if "kernel" in nv and "kernel_q" not in nv:
+                    q, s = quantize_int8(jnp.asarray(nv.pop("kernel")))
+                    nv["kernel_q"], nv["kernel_scale"] = q, s
+                if bwd == "int8_rot":
+                    w = dequantize_int8(
+                        jnp.asarray(nv["kernel_q"]), jnp.asarray(nv["kernel_scale"])
+                    )
+                    qr, sr = rotate_quantize_bwd(w)
+                    if "kernel_qr" in nv:  # keep the module-init leaf dtypes
+                        qr = qr.astype(nv["kernel_qr"].dtype)
+                        sr = sr.astype(nv["kernel_scale_r"].dtype)
+                    nv["kernel_qr"], nv["kernel_scale_r"] = qr, sr
                 out[k] = nv
             else:
                 out[k] = walk(v, in_decoder or k == "decoder")
@@ -313,7 +433,8 @@ def dequantize_base_params(params: Dict[str, Any], dtype=jnp.float32) -> Dict[st
         out = {}
         for k, v in node.items():
             if isinstance(v, dict) and "kernel_q" in v and "kernel_scale" in v:
-                nv = {kk: walk(vv) for kk, vv in v.items() if kk not in ("kernel_q", "kernel_scale")}
+                drop = ("kernel_q", "kernel_scale", "kernel_qr", "kernel_scale_r")
+                nv = {kk: walk(vv) for kk, vv in v.items() if kk not in drop}
                 nv["kernel"] = dequantize_int8(
                     jnp.asarray(v["kernel_q"]), jnp.asarray(v["kernel_scale"]), dtype=dtype
                 )

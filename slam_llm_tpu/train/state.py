@@ -124,7 +124,10 @@ class Trainer:
     def _quantize_base(self, params: Any) -> Any:
         """base_quant='int8': convert any fp decoder-dense ``kernel`` leaves
         (loaders, foreign checkpoints) into the (kernel_q, kernel_scale)
-        structure the module expects; no-op on already-quantized trees."""
+        structure the module expects; no-op on already-quantized trees
+        except the int8_rot pair, which is always re-derived from kernel_q
+        (module.init draws it independently — like kernel_t, it is derived,
+        never trusted)."""
         llm_cfg = getattr(self.slam_cfg, "llm", None)
         if getattr(llm_cfg, "base_quant", "none") == "none":
             return params
@@ -136,7 +139,12 @@ class Trainer:
             )
         from slam_llm_tpu.ops.quant import quantize_base_params
 
-        return quantize_base_params(params)
+        # int8_rot additionally needs the rotated backward pair derived
+        # (kernel_qr / kernel_scale_r) — from the fp kernel or from an
+        # already-quantized tree missing the rot leaves
+        return quantize_base_params(
+            params, bwd=getattr(llm_cfg, "base_quant_bwd", "bf16")
+        )
 
     def create_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
         model, mesh = self.model, self.mesh
@@ -155,7 +163,9 @@ class Trainer:
         with mesh:
             params = jax.jit(init_fn, out_shardings=self.param_shardings)(rng)
             params = self._refresh_kernel_t(params)
-            params = self._quantize_base(params)  # no-op on init structure; guard runs
+            # mostly a no-op on init structure, but int8_rot re-derives the
+            # rotated backward pair from kernel_q (init draws it independently)
+            params = self._quantize_base(params)
             trainable, frozen = partition_params(params, self.slam_cfg)
             frozen = self._cast_frozen(frozen)
             opt_state = self._init_opt_state(trainable)

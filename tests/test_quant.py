@@ -117,6 +117,85 @@ def test_int8_dot_sr_grad_matches_f32(bwd):
     assert np.abs(np.asarray(g2) - np.asarray(gj)).max() > 0
 
 
+def test_rotate_cols_orthonormal_and_cancels_in_dot():
+    """The block-diagonal Hadamard R is orthonormal (norm-preserving) and
+    cancels exactly in the rotated contraction: x w^T == (xR)(wR)^T. Also at
+    a feature dim NOT divisible by 256 (rot_block falls back to the largest
+    dividing power of two)."""
+    from slam_llm_tpu.ops.kernels.rowquant import rot_block, rotate_cols
+
+    for f in (512, 192):  # 192 = 2^6 * 3 -> block 64
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (16, f)), np.float32)
+        w = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (24, f)), np.float32)
+        xr = np.asarray(rotate_cols(jnp.asarray(x)))
+        wr = np.asarray(rotate_cols(jnp.asarray(w)))
+        np.testing.assert_allclose(
+            np.linalg.norm(xr, axis=-1), np.linalg.norm(x, axis=-1), rtol=1e-5
+        )
+        np.testing.assert_allclose(xr @ wr.T, x @ w.T, rtol=1e-4, atol=1e-3)
+    assert rot_block(5632) == 256 and rot_block(192) == 64 and rot_block(2048) == 256
+
+
+def test_int8_dot_rot_grad_beats_sr_on_outlier_dy():
+    """int8_rot's reason to exist: when dy rows carry outliers (the usual
+    transformer-gradient shape), the per-row amax scale crushes small entries;
+    rotating first spreads the outliers so quantization error drops. Assert
+    (a) correctness vs the exact grad, (b) strictly lower error than int8_sr
+    on the same outlier-heavy cotangent."""
+    from slam_llm_tpu.ops.quant import rotate_quantize_bwd
+
+    K, F, B = 256, 512, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, F), jnp.float32) * 0.05
+    wq, ws = quantize_int8(w)
+    wr = rotate_quantize_bwd(dequantize_int8(wq, ws))
+    # outlier mask: 8 of 512 output coords dominate each dy row
+    m = np.ones((F,), np.float32)
+    m[:8] = 300.0
+    mask = jnp.asarray(m)
+
+    def loss(xx, bwd, w_rot=None):
+        y = int8_dot(xx, wq, ws, bwd=bwd, w_rot=w_rot, bwd_seed=jnp.uint32(7))
+        return jnp.sum(y * mask)
+
+    g_exact = np.asarray(jax.grad(lambda v: loss(v, "bf16"))(x), np.float64)
+    g_sr = np.asarray(jax.grad(lambda v: loss(v, "int8_sr"))(x), np.float64)
+    g_rot = np.asarray(
+        jax.jit(jax.grad(lambda v: loss(v, "int8_rot", w_rot=wr)))(x), np.float64
+    )
+    err_sr = np.linalg.norm(g_sr - g_exact) / np.linalg.norm(g_exact)
+    err_rot = np.linalg.norm(g_rot - g_exact) / np.linalg.norm(g_exact)
+    assert _cos(g_rot, g_exact) > 0.999
+    assert err_rot < 0.5 * err_sr, (err_rot, err_sr)
+
+
+def test_quantize_base_params_rot_pair_derived_never_trusted():
+    """bwd='int8_rot' derives (kernel_qr, kernel_scale_r) from kernel_q —
+    and OVERWRITES a stale pair (module.init draws it independently)."""
+    from slam_llm_tpu.ops.quant import rotate_quantize_bwd
+
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (64, 128)), np.float32)
+    tree = {"decoder": {"layers": {"q_proj": {"kernel": jnp.asarray(w)}}}}
+    qp = quantize_base_params(tree, bwd="int8_rot")["decoder"]["layers"]["q_proj"]
+    assert sorted(qp) == ["kernel_q", "kernel_qr", "kernel_scale", "kernel_scale_r"]
+    ref_qr, ref_sr = rotate_quantize_bwd(dequantize_int8(qp["kernel_q"], qp["kernel_scale"]))
+    assert np.array_equal(np.asarray(qp["kernel_qr"]), np.asarray(ref_qr))
+    # stale rot pair present -> recomputed, not trusted
+    stale = {
+        "decoder": {"layers": {"q_proj": {
+            "kernel_q": qp["kernel_q"], "kernel_scale": qp["kernel_scale"],
+            "kernel_qr": jnp.zeros_like(qp["kernel_qr"]),
+            "kernel_scale_r": jnp.ones_like(qp["kernel_scale_r"]),
+        }}}
+    }
+    qp2 = quantize_base_params(stale, bwd="int8_rot")["decoder"]["layers"]["q_proj"]
+    assert np.array_equal(np.asarray(qp2["kernel_qr"]), np.asarray(ref_qr))
+    np.testing.assert_allclose(np.asarray(qp2["kernel_scale_r"]), np.asarray(ref_sr))
+    # and dequantize_base_params drops the rot pair on the way back
+    back = dequantize_base_params({"decoder": {"layers": {"q_proj": dict(qp)}}})
+    assert sorted(back["decoder"]["layers"]["q_proj"]) == ["kernel"]
+
+
 def _tiny_llm(base_quant="none", **kw):
     from slam_llm_tpu.models.llm import CausalLM, LLMConfig
 
@@ -178,9 +257,11 @@ def test_dequantize_base_params_roundtrip_structure():
     assert _cos(k0, k1) > 0.999
 
 
-def test_quantized_model_sr_bwd_trains():
-    """base_quant_bwd='int8_sr' end to end through the trainer: the 'quant'
-    rng stream must reach every scanned decoder layer and the run must learn."""
+@pytest.mark.parametrize("bwd", ["int8_sr", "int8_rot"])
+def test_quantized_model_fast_bwd_trains(bwd):
+    """The 2x-backward modes end to end through the trainer: the 'quant' rng
+    stream must reach every scanned decoder layer, int8_rot's rotated pair
+    must be re-derived from kernel_q at state build, and the run must learn."""
     import dataclasses as dc
 
     from slam_llm_tpu.config import TrainConfig
@@ -192,7 +273,7 @@ def test_quantized_model_sr_bwd_trains():
 
     llm = dc.replace(
         LLMConfig.tiny_test(), lora_rank=4, base_quant="int8",
-        base_quant_bwd="int8_sr", dtype=jnp.float32,
+        base_quant_bwd=bwd, dtype=jnp.float32,
     )
     enc = dataclasses.replace(
         __import__("slam_llm_tpu.models.whisper", fromlist=["WhisperEncoderConfig"]).WhisperEncoderConfig.tiny_test(),

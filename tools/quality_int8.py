@@ -56,7 +56,7 @@ GATE_TRAJ_MAX_DELTA = 0.30       # worst-point divergence along the curve
 GATE_REL_DROP = 0.90             # int8 must achieve >=90% of bf16's loss drop
 
 
-def _cfgs():
+def _cfgs(bwd: str = "bf16"):
     import os
 
     os.environ["BENCH_QUANT"] = "none"  # _flagship_cfg reads it; force bf16 base
@@ -64,7 +64,10 @@ def _cfgs():
 
     cfg_bf16 = g._flagship_cfg()
     cfg_int8 = dataclasses.replace(
-        cfg_bf16, llm=dataclasses.replace(cfg_bf16.llm, base_quant="int8")
+        cfg_bf16,
+        llm=dataclasses.replace(
+            cfg_bf16.llm, base_quant="int8", base_quant_bwd=bwd
+        ),
     )
     return cfg_bf16, cfg_int8
 
@@ -134,8 +137,15 @@ def logits_agreement(cfg_bf16, cfg_int8, b=2):
     }
 
 
-def trajectory(cfg_bf16, cfg_int8, steps, b):
-    """N LoRA steps from the SAME fp init: bf16 base vs int8 base."""
+def trajectory(cfg_bf16, cfg_int8, steps, b, data="single"):
+    """N LoRA steps from the SAME fp init: bf16 base vs int8 base.
+
+    ``data='single'`` memorizes ONE batch — the hardest case for gradient
+    noise (every step re-descends the same loss surface, so quantization
+    noise compounds instead of averaging out against fresh-data SGD noise).
+    ``data='rotating'`` cycles 8 distinct batches — what a real run sees;
+    the last-3-dispatch mean is an effective eval (each batch was seen only
+    ~steps/80 times)."""
     from flax import linen as nn
 
     from slam_llm_tpu.config import TrainConfig
@@ -144,7 +154,8 @@ def trajectory(cfg_bf16, cfg_int8, steps, b):
     from slam_llm_tpu.train.state import build_trainer
 
     mesh = make_mesh(dp=1, fsdp=1, tp=1)
-    batch = _batch(b)
+    n_batches = 8 if data == "rotating" else 1
+    batches = [_batch(b, seed=s) for s in range(n_batches)]
     k = 10  # scan-fused steps per dispatch
     curves = {}
     for name, cfg in (("bf16", cfg_bf16), ("int8", cfg_int8)):
@@ -157,7 +168,7 @@ def trajectory(cfg_bf16, cfg_int8, steps, b):
         # SAME fp init both runs: init the bf16-structured tree (identical
         # PRNG draw), then state_from_params quantizes for the int8 trainer
         fp_model = SLAMModel(cfg_bf16)
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        jbatch = {k: jnp.asarray(v) for k, v in batches[0].items()}
 
         def init_fn(r):
             return nn.meta.unbox(fp_model.init(r, jbatch, method="init_all")["params"])
@@ -167,17 +178,17 @@ def trajectory(cfg_bf16, cfg_int8, steps, b):
             state = trainer.state_from_params(params)
             del params
             scan_step = trainer.build_scan_step(k)
-            device_batch = trainer.put_batch(batch)
+            device_batches = [trainer.put_batch(bt) for bt in batches]
             rng = jax.random.PRNGKey(1)
             losses = []
             t0 = time.perf_counter()
             for i in range(steps // k):
                 rng, sub = jax.random.split(rng)
-                state, metrics = scan_step(state, device_batch, sub)
+                state, metrics = scan_step(state, device_batches[i % n_batches], sub)
                 losses.append(round(float(metrics["loss"]), 5))
             dt = time.perf_counter() - t0
         print(
-            f"# {name}: {steps} steps in {dt:.1f}s "
+            f"# {name} ({data}): {steps} steps in {dt:.1f}s "
             f"({b*steps/dt:.1f} utt/s), loss {losses[0]} -> {losses[-1]}",
             file=sys.stderr,
         )
@@ -186,9 +197,10 @@ def trajectory(cfg_bf16, cfg_int8, steps, b):
     deltas = [abs(a - q) for a, q in zip(curves["bf16"], curves["int8"])]
     drop_fp = curves["bf16"][0] - curves["bf16"][-1]
     drop_q = curves["int8"][0] - curves["int8"][-1]
-    return {
+    out = {
         "steps": steps,
         "batch": b,
+        "data": data,
         "base_quant_bwd": cfg_int8.llm.base_quant_bwd,
         "loss_every_10": curves,
         "final_delta": round(deltas[-1], 5),
@@ -197,6 +209,16 @@ def trajectory(cfg_bf16, cfg_int8, steps, b):
         "bf16_learned": curves["bf16"][-1] < curves["bf16"][0] - 0.5,
         "int8_learned": curves["int8"][-1] < curves["int8"][0] - 0.5,
     }
+    if data == "rotating":
+        # rotating data: single-dispatch losses are batch-noisy; compare the
+        # last-3-dispatch means (a 30-step window covering 3 distinct batches)
+        tail = 3
+        m_fp = sum(curves["bf16"][-tail:]) / tail
+        m_q = sum(curves["int8"][-tail:]) / tail
+        out["final_mean3_bf16"] = round(m_fp, 5)
+        out["final_mean3_int8"] = round(m_q, 5)
+        out["final_mean3_delta"] = round(abs(m_q - m_fp), 5)
+    return out
 
 
 def main():
@@ -204,9 +226,37 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--skip-trajectory", action="store_true")
+    ap.add_argument(
+        "--bwd", default="bf16", choices=["bf16", "int8_rot", "int8_sr", "int8"],
+        help="dx-dot mode for the int8 arm. 'bf16' (the shipped default) runs "
+        "the full gated comparison and owns the artifact's top-level keys; "
+        "other modes run the trajectory only and merge their result under "
+        "trajectory_modes[key] (the gates document the shipped default — the "
+        "fast-backward modes are a measured tradeoff, not gated).",
+    )
+    ap.add_argument(
+        "--data", default="single", choices=["single", "rotating"],
+        help="'single' memorizes one batch (hardest case for gradient noise; "
+        "the gated artifact); 'rotating' cycles 8 distinct batches (what a "
+        "real run sees) — always merged under trajectory_modes.",
+    )
     a = ap.parse_args()
 
-    cfg_bf16, cfg_int8 = _cfgs()
+    cfg_bf16, cfg_int8 = _cfgs(a.bwd)
+    if a.bwd != "bf16" or a.data != "single":
+        # non-default arm: trajectory only (the forward path is identical
+        # across bwd modes), merged into the artifact without gating
+        tr = trajectory(cfg_bf16, cfg_int8, a.steps, a.b, data=a.data)
+        key = a.bwd if a.data == "single" else f"{a.bwd}:{a.data}"
+        path = REPO / "QUALITY_INT8.json"
+        out = json.loads(path.read_text()) if path.exists() else {}
+        out.setdefault("trajectory_modes", {})[key] = tr
+        path.write_text(json.dumps(out, indent=1) + "\n")
+        print(json.dumps({key: {k: v for k, v in tr.items() if k != "loss_every_10"}}, indent=1))
+        if not (tr["bf16_learned"] and tr["int8_learned"]):
+            print("FAILED: a run did not learn", file=sys.stderr)
+            sys.exit(1)
+        return
     out = {
         "model": "whisper-tiny + linear + TinyLlama-1.1B (LoRA r=8, frozen base)",
         "shape": {"t_mel": T_MEL, "t_text": T_TEXT, "audio_len": AUDIO_LEN},
