@@ -249,8 +249,13 @@ def _measure_train(base_quant: str) -> float:
         dt = (time.perf_counter() - t0) / SCAN_STEPS
 
     utt = b / dt / n_chips
+    mode = base_quant or "bf16"
+    if mode == "int8":
+        mode += f"+bwd_{cfg.llm.base_quant_bwd}"
+        if getattr(cfg.llm, "ce_quant", "none") != "none":
+            mode += f"+ce_{cfg.llm.ce_quant}"
     print(
-        f"# {base_quant or 'bf16'}: step {dt*1e3:.1f} ms at batch {B}/chip, "
+        f"# {mode}: step {dt*1e3:.1f} ms at batch {B}/chip, "
         f"{SCAN_STEPS} scan-fused steps/dispatch -> {utt:.2f} utt/s/chip",
         file=sys.stderr,
     )

@@ -109,6 +109,8 @@ class ShardConfig:
     # in QUALITY_INT8.json) | int8_rot (2x rate, Hadamard-rotated dy +
     # stochastic rounding — the best-quality fast backward) | int8_sr (2x
     # rate, stochastic rounding) | int8 (2x, deterministic — biased).
+    # "_mlp"-suffixed modes (int8_rot_mlp) quantize dy on gate/up/down only
+    # (~67% of the dense backward FLOPs); attention dx stays exact bf16.
     base_quant: str = "none"  # none | int8
     base_quant_bwd: str = "bf16"
 

@@ -35,6 +35,7 @@ from slam_llm_tpu.models.layers import (
     mha_attention,
     rope_tables,
 )
+from slam_llm_tpu.ops.quant import resolve_bwd as _resolve_bwd
 
 
 @dataclass(frozen=True)
@@ -83,9 +84,19 @@ class LLMConfig:
     # 1.1B delta 0.36 vs 0.75 for plain SR; costs one extra int8 weight
     # copy in HBM), "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).
-    # Requires freeze_llm (train.state.build_trainer).
+    # Any fast mode takes an "_mlp" suffix (e.g. "int8_rot_mlp"): the fast
+    # dx runs on the MLP denses only (gate/up/down — ~67% of the dense
+    # backward FLOPs) while the attention q/k/v/o dx stays exact bf16 —
+    # ~2/3 of the speedup for a fraction of the gradient-noise surface
+    # (ops/quant.resolve_bwd). Requires freeze_llm (train.state.build_trainer).
     base_quant: str = "none"  # none | int8
-    base_quant_bwd: str = "bf16"  # bf16 | int8_rot | int8_sr | int8
+    base_quant_bwd: str = "bf16"  # bf16 | int8_rot | int8_sr | int8 | <mode>_mlp
+    # W8A8 lm_head inside the fused CE (ops/fused_ce.py quant=True): "int8"
+    # quantizes the head dots (fwd + bwd recompute) and contracts the
+    # dequantized kernel exactly for dx; "int8_sr" SR-quantizes the CE
+    # cotangent for a 2x dx too (spike-dominated rows — measure first).
+    # Requires a frozen head (freeze_llm).
+    ce_quant: str = "none"  # none | int8 | int8_sr
     # compile strategy
     scan_layers: bool = True
     # lax.scan unroll factor for the layer loop: >1 trades compile time for
@@ -165,7 +176,7 @@ class Attention(nn.Module):
             lora_dropout=c.lora_dropout,
             pretranspose_bwd=c.bwd_pretranspose,
             quant=c.base_quant,
-            quant_bwd=c.base_quant_bwd,
+            quant_bwd=_resolve_bwd(c.base_quant_bwd, name),
             name=name,
         )
 
@@ -323,14 +334,16 @@ class MLP(nn.Module):
             DenseGeneralLora, dtype=c.dtype, param_dtype=c.param_dtype,
             lora_alpha=c.lora_alpha, lora_dropout=c.lora_dropout,
             pretranspose_bwd=c.bwd_pretranspose,
-            quant=c.base_quant, quant_bwd=c.base_quant_bwd,
+            quant=c.base_quant,
         )
         gate = dense(
             features=c.ffn_dim, kernel_axes=("embed", "mlp"),
+            quant_bwd=_resolve_bwd(c.base_quant_bwd, "gate_proj"),
             lora_rank=c.lora_rank if "gate_proj" in c.lora_targets else 0, name="gate_proj",
         )(x, deterministic)
         up = dense(
             features=c.ffn_dim, kernel_axes=("embed", "mlp"),
+            quant_bwd=_resolve_bwd(c.base_quant_bwd, "up_proj"),
             lora_rank=c.lora_rank if "up_proj" in c.lora_targets else 0, name="up_proj",
         )(x, deterministic)
         # named for the `min_saves` remat policy: the silu/mul vjp needs both
@@ -340,6 +353,7 @@ class MLP(nn.Module):
         h = nn.silu(gate) * up
         down = dense(
             features=c.d_model, kernel_axes=("mlp", "embed"),
+            quant_bwd=_resolve_bwd(c.base_quant_bwd, "down_proj"),
             lora_rank=c.lora_rank if "down_proj" in c.lora_targets else 0, name="down_proj",
         )(h, deterministic)
         # named so the save policies keep treating it like the dot output it
@@ -575,6 +589,12 @@ class CausalLM(nn.Module):
             # LogicallyPartitioned box when params were initialized boxed
             kernel = nn.meta.unbox(self.lm_head.variables["params"]["kernel"])  # (D, V)
             transpose = False
+        ce_quant = getattr(self.cfg, "ce_quant", "none")
+        seed = None
+        if ce_quant == "int8_sr" and self.has_rng("quant"):
+            # fresh SR stream per step for the CE-cotangent quantization
+            # (per-chunk offsets are added inside fused_linear_ce)
+            seed = jax.random.bits(self.make_rng("quant"), dtype=jnp.uint32)
         return fused_linear_ce(
             x[:, :-1],
             kernel,
@@ -583,6 +603,9 @@ class CausalLM(nn.Module):
             transpose_kernel=transpose,
             kernel_needs_grad=head_needs_grad,
             compute_dtype=self.cfg.dtype,
+            quant=ce_quant != "none",
+            quant_bwd="int8_sr" if ce_quant == "int8_sr" else "bf16",
+            quant_seed=seed,
         )
 
     def prefill(

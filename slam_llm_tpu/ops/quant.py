@@ -38,6 +38,21 @@ import numpy as np
 PROJ_NAMES = (
     "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
 )
+# the MLP subset: 3 of the 7 dots but ~67% of the dense backward FLOPs at
+# llama shapes (2 * ffn_dim * 3 vs d_model * 4 per layer) — the "_mlp"
+# hybrid modes quantize dy only here and keep the attention dx exact
+MLP_PROJ_NAMES = ("gate_proj", "up_proj", "down_proj")
+
+
+def resolve_bwd(mode: str, proj_name: str) -> str:
+    """Per-module dx-dot mode. A ``_mlp``-suffixed mode (e.g. ``int8_rot_mlp``)
+    applies the fast quantized backward to the MLP denses only — they carry
+    ~67% of the dense backward FLOPs — and keeps the exact bf16 contraction
+    on the attention q/k/v/o dots, halving the surface gradient noise
+    touches for ~2/3 of the fast mode's speedup."""
+    if mode.endswith("_mlp"):
+        return mode[:-4] if proj_name in MLP_PROJ_NAMES else "bf16"
+    return mode
 
 _EPS = 1e-30
 
@@ -406,7 +421,7 @@ def quantize_base_params(params: Dict[str, Any], bwd: str = "bf16") -> Dict[str,
                 if "kernel" in nv and "kernel_q" not in nv:
                     q, s = quantize_int8(jnp.asarray(nv.pop("kernel")))
                     nv["kernel_q"], nv["kernel_scale"] = q, s
-                if bwd == "int8_rot":
+                if resolve_bwd(bwd, k) == "int8_rot":
                     w = dequantize_int8(
                         jnp.asarray(nv["kernel_q"]), jnp.asarray(nv["kernel_scale"])
                     )

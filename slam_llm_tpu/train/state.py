@@ -199,10 +199,18 @@ class Trainer:
     def build_steps(self, use_dropout: bool = False) -> None:
         model, tx, sched = self.model, self.tx, self.sched
 
+        # every stochastically-rounded backward needs the stream — int8_sr,
+        # int8_rot, and their _mlp hybrids. Without it the modules fall back
+        # to a FIXED seed: the SAME uniform dither repeats every step, and
+        # SR's unbiasedness (fresh u each draw) silently degrades to a
+        # deterministic dithered rounding (regression test:
+        # tests/test_quant.py::test_fast_bwd_gets_fresh_quant_rng_per_step)
+        _llm_cfg = getattr(self.slam_cfg, "llm", None)
+        _bwd = getattr(_llm_cfg, "base_quant_bwd", "")
         needs_quant_rng = (
-            getattr(getattr(self.slam_cfg, "llm", None), "base_quant_bwd", "") == "int8_sr"
-            and getattr(getattr(self.slam_cfg, "llm", None), "base_quant", "none") != "none"
-        )
+            ("_sr" in _bwd or "_rot" in _bwd)
+            and getattr(_llm_cfg, "base_quant", "none") != "none"
+        ) or getattr(_llm_cfg, "ce_quant", "none") == "int8_sr"
 
         def train_step(state: TrainState, batch, dropout_rng):
             def loss_fn(trainable):

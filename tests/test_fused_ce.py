@@ -104,3 +104,105 @@ def test_fused_all_ignored_is_finite():
     g = jax.grad(lambda h: fused_linear_ce(
         h, kernel, labels, chunk=3, compute_dtype=jnp.float32)[0])(hidden)
     assert np.all(np.isfinite(np.asarray(g))) and np.all(np.asarray(g) == 0.0)
+
+
+def _quant_ref_loss(hidden, kernel, labels, transpose=False):
+    """Reference for quant=True: EXPLICITLY quantize (per-vocab-channel
+    int8 kernel, per-row int8 activations) then run the unfused fp32 CE —
+    the fused quant path must match ITS loss and (for quant_bwd='bf16')
+    its exact hidden gradient."""
+    from slam_llm_tpu.ops.quant import dequantize_int8, quantize_int8
+
+    ca = -1 if transpose else -2
+    kq, ks = quantize_int8(kernel, contract_axis=ca)
+    W = dequantize_int8(kq, ks, contract_axis=ca)
+
+    def act_q(x):
+        a = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s = jnp.maximum(a, 1e-28) / 127.0
+        return jnp.clip(jnp.round(x / s), -127, 127) * s
+
+    hq = act_q(hidden.astype(jnp.float32))
+    return _ref_loss(jax.lax.stop_gradient(hq) + (hidden - jax.lax.stop_gradient(hidden)),
+                     W, labels, transpose)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_fused_ce_quant_matches_explicit_quantization(transpose):
+    """quant=True loss == unfused CE over explicitly-quantized logits, and
+    the quant_bwd='bf16' hidden grad == the exact grad of that quantized
+    forward (straight-through on the activation rounding)."""
+    rng = np.random.default_rng(3)
+    b, t, d, v, chunk = 2, 12, 16, 33, 4
+    hidden = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    kernel = jnp.asarray(
+        rng.standard_normal((v, d) if transpose else (d, v)) * 0.3, jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, v, (b, t)), jnp.int32)
+    labels = labels.at[0, :2].set(IGNORE_INDEX)
+
+    def fused_q(h):
+        return fused_linear_ce(
+            h, kernel, labels, chunk=chunk, transpose_kernel=transpose,
+            kernel_needs_grad=False, compute_dtype=jnp.float32, quant=True,
+        )[0]
+
+    def ref_q(h):
+        return _quant_ref_loss(h, kernel, labels, transpose)[0]
+
+    np.testing.assert_allclose(float(fused_q(hidden)), float(ref_q(hidden)), rtol=1e-5)
+    gh_f = np.asarray(jax.grad(fused_q)(hidden))
+    gh_r = np.asarray(jax.grad(ref_q)(hidden))
+    cos = float(
+        (gh_f * gh_r).sum()
+        / max(np.linalg.norm(gh_f) * np.linalg.norm(gh_r), 1e-30)
+    )
+    assert cos > 0.999, cos
+    # and close to the UNQUANTIZED exact grad (int8 error is small)
+    gh_e = np.asarray(jax.grad(lambda h: _ref_loss(h, kernel, labels, transpose)[0])(hidden))
+    cos_e = float(
+        (gh_f * gh_e).sum()
+        / max(np.linalg.norm(gh_f) * np.linalg.norm(gh_e), 1e-30)
+    )
+    assert cos_e > 0.99, cos_e
+
+
+def test_fused_ce_quant_sr_bwd_unbiased_and_seeded():
+    """quant_bwd='int8_sr': dx tracks the exact grad in direction, and two
+    seeds give different noise (the SR stream is live)."""
+    rng = np.random.default_rng(4)
+    b, t, d, v, chunk = 2, 16, 16, 128, 8
+    hidden = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((d, v)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, (b, t)), jnp.int32)
+
+    def fused_q(h, seed):
+        return fused_linear_ce(
+            h, kernel, labels, chunk=chunk, kernel_needs_grad=False,
+            compute_dtype=jnp.float32, quant=True, quant_bwd="int8_sr",
+            quant_seed=jnp.uint32(seed),
+        )[0]
+
+    g_exact = np.asarray(jax.grad(lambda h: _ref_loss(h, kernel, labels)[0])(hidden))
+    # average many SR draws: the mean must approach the exact quantized grad
+    gs = [np.asarray(jax.grad(lambda h: fused_q(h, s))(hidden)) for s in range(24)]
+    g_mean = np.mean(gs, axis=0)
+    cos = float(
+        (g_mean * g_exact).sum()
+        / max(np.linalg.norm(g_mean) * np.linalg.norm(g_exact), 1e-30)
+    )
+    assert cos > 0.99, cos
+    assert not np.array_equal(gs[0], gs[1])  # distinct seeds -> distinct noise
+
+
+def test_fused_ce_quant_requires_frozen_head():
+    hidden = jnp.ones((1, 4, 8), jnp.float32)
+    kernel = jnp.ones((8, 16), jnp.float32)
+    labels = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(ValueError, match="frozen head"):
+        fused_linear_ce(hidden, kernel, labels, quant=True, kernel_needs_grad=True)
+    with pytest.raises(ValueError, match="quant_bwd"):
+        fused_linear_ce(
+            hidden, kernel, labels, quant=True, kernel_needs_grad=False,
+            quant_bwd="int4",
+        )

@@ -257,7 +257,38 @@ def test_dequantize_base_params_roundtrip_structure():
     assert _cos(k0, k1) > 0.999
 
 
-@pytest.mark.parametrize("bwd", ["int8_sr", "int8_rot"])
+def test_resolve_bwd_mlp_suffix():
+    """'_mlp' hybrid modes: fast dx on gate/up/down only, exact bf16 on the
+    attention dots; suffix-free modes pass through for every projection."""
+    from slam_llm_tpu.ops.quant import PROJ_NAMES, resolve_bwd
+
+    for p in PROJ_NAMES:
+        assert resolve_bwd("int8_rot", p) == "int8_rot"
+        assert resolve_bwd("bf16", p) == "bf16"
+    assert resolve_bwd("int8_rot_mlp", "gate_proj") == "int8_rot"
+    assert resolve_bwd("int8_rot_mlp", "up_proj") == "int8_rot"
+    assert resolve_bwd("int8_rot_mlp", "down_proj") == "int8_rot"
+    for p in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        assert resolve_bwd("int8_rot_mlp", p) == "bf16"
+        assert resolve_bwd("int8_sr_mlp", p) == "bf16"
+    assert resolve_bwd("int8_sr_mlp", "down_proj") == "int8_sr"
+
+
+def test_quantize_base_params_rot_mlp_pair_only_on_mlp():
+    """bwd='int8_rot_mlp' derives the rotated pair for MLP denses only."""
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (64, 128)), np.float32)
+    tree = {"decoder": {"layers": {
+        "q_proj": {"kernel": jnp.asarray(w)},
+        "gate_proj": {"kernel": jnp.asarray(w)},
+    }}}
+    out = quantize_base_params(tree, bwd="int8_rot_mlp")["decoder"]["layers"]
+    assert sorted(out["q_proj"]) == ["kernel_q", "kernel_scale"]
+    assert sorted(out["gate_proj"]) == [
+        "kernel_q", "kernel_qr", "kernel_scale", "kernel_scale_r"
+    ]
+
+
+@pytest.mark.parametrize("bwd", ["int8_sr", "int8_rot", "int8_rot_mlp"])
 def test_quantized_model_fast_bwd_trains(bwd):
     """The 2x-backward modes end to end through the trainer: the 'quant' rng
     stream must reach every scanned decoder layer, int8_rot's rotated pair
@@ -313,6 +344,67 @@ def test_quantized_model_fast_bwd_trains(bwd):
             losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_fast_bwd_gets_fresh_quant_rng_per_step():
+    """Regression: the trainer must supply the 'quant' rng stream for EVERY
+    stochastically-rounded backward (int8_rot and the _mlp hybrids, not just
+    int8_sr). Without it, modules fall back to a fixed seed and the SAME
+    uniform dither repeats each step — detectable because two different step
+    rngs then produce IDENTICAL updates (dropout is off, so SR noise is the
+    only rng consumer)."""
+    import dataclasses as dc
+
+    from slam_llm_tpu.config import TrainConfig
+    from slam_llm_tpu.models.llm import LLMConfig
+    from slam_llm_tpu.models.projector import ProjectorConfig
+    from slam_llm_tpu.models.slam_model import SLAMConfig, SLAMModel
+    from slam_llm_tpu.parallel import make_mesh
+    from slam_llm_tpu.train.state import build_trainer
+
+    llm = dc.replace(
+        LLMConfig.tiny_test(), lora_rank=4, lora_dropout=0.0, base_quant="int8",
+        base_quant_bwd="int8_rot", dtype=jnp.float32,
+    )
+    enc = dataclasses.replace(
+        __import__("slam_llm_tpu.models.whisper", fromlist=["WhisperEncoderConfig"]).WhisperEncoderConfig.tiny_test(),
+        dtype=jnp.float32,
+    )
+    proj = ProjectorConfig(
+        encoder_dim=enc.d_model, llm_dim=llm.d_model, ds_rate=5,
+        hidden_dim=32, dtype=jnp.float32,
+    )
+    cfg = SLAMConfig(
+        llm=llm, encoder_name="whisper", encoder=enc, projector="linear",
+        projector_cfg=proj, freeze_encoder=True, freeze_llm=True,
+    )
+    tc = TrainConfig()
+    tc.use_peft = True
+    mesh = make_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    trainer = build_trainer(SLAMModel(cfg), cfg, tc, mesh)
+    rng = np.random.default_rng(0)
+    batch = {
+        "audio_mel": rng.standard_normal((2, 64, 8)).astype(np.float32),
+        "audio_mel_mask": np.ones((2, 64), np.int32),
+        "input_ids": rng.integers(3, 250, (2, 24)).astype(np.int32),
+        "attention_mask": np.ones((2, 24), np.int32),
+        "labels": rng.integers(3, 250, (2, 24)).astype(np.int32),
+        "modality_mask": np.zeros((2, 24), np.int32),
+    }
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    with mesh:
+        db = trainer.put_batch(batch)
+        _, m_a = trainer.train_step(state, db, jax.random.PRNGKey(1))
+        # donate_argnums consumed `state`: rebuild the identical start state
+        state2 = trainer.create_state(jax.random.PRNGKey(0), batch)
+        _, m_b = trainer.train_step(state2, db, jax.random.PRNGKey(2))
+    # grad_norm is the most sensitive float32 observable of the backward; a
+    # fixed-seed fallback makes the two runs bit-identical
+    ga, gb = float(m_a["grad_norm"]), float(m_b["grad_norm"])
+    assert ga != gb, (
+        f"identical grad_norm {ga} under different step rngs: "
+        "quant rng not threaded"
+    )
 
 
 def test_quantized_training_tracks_fp():

@@ -56,7 +56,7 @@ GATE_TRAJ_MAX_DELTA = 0.30       # worst-point divergence along the curve
 GATE_REL_DROP = 0.90             # int8 must achieve >=90% of bf16's loss drop
 
 
-def _cfgs(bwd: str = "bf16"):
+def _cfgs(bwd: str = "bf16", ce: str = "none"):
     import os
 
     os.environ["BENCH_QUANT"] = "none"  # _flagship_cfg reads it; force bf16 base
@@ -66,7 +66,7 @@ def _cfgs(bwd: str = "bf16"):
     cfg_int8 = dataclasses.replace(
         cfg_bf16,
         llm=dataclasses.replace(
-            cfg_bf16.llm, base_quant="int8", base_quant_bwd=bwd
+            cfg_bf16.llm, base_quant="int8", base_quant_bwd=bwd, ce_quant=ce
         ),
     )
     return cfg_bf16, cfg_int8
@@ -101,7 +101,9 @@ def logits_agreement(cfg_bf16, cfg_int8, b=2):
             jax.random.PRNGKey(0)
         )["params"]
     )
-    qparams = quantize_base_params(params)
+    # derive whatever backward-side structure the int8 module expects
+    # (int8_rot's kernel_qr pair) even though only the forward runs here
+    qparams = quantize_base_params(params, bwd=cfg_int8.llm.base_quant_bwd)
 
     out_fp = jax.jit(
         lambda p, bt: model_fp.apply({"params": p}, bt, return_logits=True)
@@ -227,7 +229,8 @@ def main():
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--skip-trajectory", action="store_true")
     ap.add_argument(
-        "--bwd", default="bf16", choices=["bf16", "int8_rot", "int8_sr", "int8"],
+        "--bwd", default="bf16",
+        choices=["bf16", "int8_rot", "int8_rot_mlp", "int8_sr", "int8"],
         help="dx-dot mode for the int8 arm. 'bf16' (the shipped default) runs "
         "the full gated comparison and owns the artifact's top-level keys; "
         "other modes run the trajectory only and merge their result under "
@@ -240,14 +243,31 @@ def main():
         "the gated artifact); 'rotating' cycles 8 distinct batches (what a "
         "real run sees) — always merged under trajectory_modes.",
     )
+    ap.add_argument(
+        "--ce", default="none", choices=["none", "int8", "int8_sr"],
+        help="lm_head W8A8 inside the fused CE for the int8 arm "
+        "(llm.ce_quant); merged under trajectory_modes['<bwd>+ce_<ce>'] "
+        "unless --gate.",
+    )
+    ap.add_argument(
+        "--gate", action="store_true",
+        help="run the FULL gated comparison (logits + trajectory, owns the "
+        "artifact's top-level keys) for --bwd, not just the trajectory merge "
+        "— use when --bwd IS the shipped default.",
+    )
     a = ap.parse_args()
 
-    cfg_bf16, cfg_int8 = _cfgs(a.bwd)
-    if a.bwd != "bf16" or a.data != "single":
+    cfg_bf16, cfg_int8 = _cfgs(a.bwd, a.ce)
+    if (a.bwd != "bf16" and not a.gate) or a.data != "single" or (
+        a.ce != "none" and not a.gate
+    ):
         # non-default arm: trajectory only (the forward path is identical
-        # across bwd modes), merged into the artifact without gating
+        # across bwd modes — except ce_quant, whose logits shift is gated
+        # separately via --gate), merged into the artifact without gating
         tr = trajectory(cfg_bf16, cfg_int8, a.steps, a.b, data=a.data)
         key = a.bwd if a.data == "single" else f"{a.bwd}:{a.data}"
+        if a.ce != "none":
+            key += f"+ce_{a.ce}"
         path = REPO / "QUALITY_INT8.json"
         out = json.loads(path.read_text()) if path.exists() else {}
         out.setdefault("trajectory_modes", {})[key] = tr
@@ -262,6 +282,8 @@ def main():
         "shape": {"t_mel": T_MEL, "t_text": T_TEXT, "audio_len": AUDIO_LEN},
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "base_quant_bwd": a.bwd,  # the gated (shipped-default) dx mode
+        "ce_quant": a.ce,
     }
     out["logits"] = logits_agreement(cfg_bf16, cfg_int8)
     print(f"# logits: {out['logits']}", file=sys.stderr)
@@ -289,7 +311,14 @@ def main():
     out["gates_passed"] = not failures
     out["failures"] = failures
 
-    (REPO / "QUALITY_INT8.json").write_text(json.dumps(out, indent=1) + "\n")
+    # a gated run owns the top-level keys but must not drop the merged
+    # per-mode trajectories
+    path = REPO / "QUALITY_INT8.json"
+    if path.exists():
+        prev = json.loads(path.read_text())
+        if "trajectory_modes" in prev:
+            out["trajectory_modes"] = prev["trajectory_modes"]
+    path.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v for k, v in out.items() if k != "trajectory"}, indent=1))
     if failures:
         print("FAILED gates:", failures, file=sys.stderr)
