@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from slam_llm_tpu.models.layers import (
+    NEG_INF,
     DenseGeneralLora,
     RMSNorm,
     apply_rope_tables,
@@ -229,25 +230,43 @@ class Attention(nn.Module):
 
         new_cache = None
         if cache_k is not None:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
-            )
-            new_cache = (cache_k, cache_v)
-            if bias is None:
-                # structured prefill (any t, INCLUDING t == 1): the fresh
-                # k/v ARE the cache prefix [0, t) just written, and
-                # everything past it is masked anyway — attending them
-                # directly keeps tq == tk so the causal+kv_mask form lowers
-                # to the flash kernel instead of a dense (B, 1, T, max_len)
-                # bias through the XLA path. (A t==1 full-cache fallback
-                # would broadcast the (B, 1) kv_mask over max_len and
-                # attend every uninitialized slot.)
-                pass
+            if bias is not None and t == 1:
+                # decode step: the cache is READ-ONLY here. Updating the slab
+                # in-layer forced a full (B, max_len, Hkv, D) copy per layer
+                # per token (2x8.4 MB/layer at flagship — the dominant decode
+                # cost, 3x the MLP weight reads in the r4 trace). Instead the
+                # fresh k/v ride back as a tiny per-layer output and ONE
+                # batched dynamic_update_slice in _ScannedDecoder writes all
+                # layers' tokens into the carry in place. The attention sees
+                # the same kv set: callers mark slot `cache_index` valid in
+                # the mask (it's where this token lands), so mask the STALE
+                # slab slot out and append the live token as an extra column.
+                new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+                cols = jnp.arange(cache_k.shape[1])[None, None, None, :]
+                bias = jnp.where(cols == cache_index, NEG_INF, bias)
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, 1)))
+                k = jnp.concatenate([cache_k, new_cache[0]], axis=1)
+                v = jnp.concatenate([cache_v, new_cache[1]], axis=1)
             else:
-                k, v = cache_k, cache_v
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+                )
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+                )
+                new_cache = (cache_k, cache_v)
+                if bias is None:
+                    # structured prefill (any t, INCLUDING t == 1): the fresh
+                    # k/v ARE the cache prefix [0, t) just written, and
+                    # everything past it is masked anyway — attending them
+                    # directly keeps tq == tk so the causal+kv_mask form lowers
+                    # to the flash kernel instead of a dense (B, 1, T, max_len)
+                    # bias through the XLA path. (A t==1 full-cache fallback
+                    # would broadcast the (B, 1) kv_mask over max_len and
+                    # attend every uninitialized slot.)
+                    pass
+                else:
+                    k, v = cache_k, cache_v
 
         if c.peft_method == "prefix" and c.prefix_tokens > 0:
             # prefix tuning: learnable post-RoPE KV slots prepended per layer
@@ -436,7 +455,22 @@ class _ScannedDecoder(nn.Module):
         (x, _, _, _, _), stacked = scan(
             layer_cls(c, name="layers"), (x, bias, positions, cache_index, kv_mask), xs
         )
-        new_cache = None if stacked is None else {"k": stacked[0], "v": stacked[1]}
+        if stacked is None:
+            new_cache = None
+        elif stacked[0].shape[2] == cache["k"].shape[2]:
+            # prefill: each layer wrote its full slab (ys == cache shape)
+            new_cache = {"k": stacked[0], "v": stacked[1]}
+        else:
+            # decode (t == 1): ys carried only each layer's new-token k/v
+            # (L, B, 1, Hkv, D) — one batched write into the caller's cache
+            # (a while-loop carry, so XLA updates it in place) replaces the
+            # per-layer full-slab copies the in-attention update cost
+            z = jnp.int32(0)
+            idx = (z, z, jnp.asarray(cache_index, jnp.int32), z, z)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(cache["k"], stacked[0], idx),
+                "v": jax.lax.dynamic_update_slice(cache["v"], stacked[1], idx),
+            }
         return x, new_cache
 
 

@@ -444,7 +444,16 @@ class S2SModel(nn.Module):
             nk.append(k_i)
             nv.append(v_i)
         xa = self._adapter_audio_logits(ha)
-        return xt, xa, cache, {"k": jnp.stack(nk), "v": jnp.stack(nv)}
+        # decode-step attention returns only the new-token k/v (B, 1, H, D)
+        # (the copy-free cache contract — llm.Attention); write all layers'
+        # tokens into the carried cache with one batched update
+        z = jnp.int32(0)
+        idx = (z, z, jnp.asarray(cache_index, jnp.int32), z, z)
+        new_ac = {
+            "k": jax.lax.dynamic_update_slice(adapter_cache["k"], jnp.stack(nk), idx),
+            "v": jax.lax.dynamic_update_slice(adapter_cache["v"], jnp.stack(nv), idx),
+        }
+        return xt, xa, cache, new_ac
 
 
 # ---------------------------------------------------------------------------
