@@ -118,7 +118,9 @@ class Generator:
         b, t = batch["input_ids"].shape
         max_len = t + max_new
         llm_cfg = model.cfg.llm
-        cache = init_kv_cache(llm_cfg, b, max_len)
+        # split layout: decode writes (and nothing else) touch only the small
+        # [t, max_len) tail buffers instead of copying the full slab per step
+        cache = init_kv_cache(llm_cfg, b, max_len, gen_start=t)
 
         logits, cache = model.apply(params, batch, cache, method="prefill")
         # the last VALID position's logits seed the first generated token
@@ -223,15 +225,38 @@ class Generator:
         llm_cfg = model.cfg.llm
         lp = cfg.length_penalty
 
-        # prefill once at batch B, then tile cache/state to B*K
-        cache = init_kv_cache(llm_cfg, b, max_len)
+        # prefill once at batch B, then tile cache/state to B*K; the split
+        # layout (gen_start=t) makes the per-step beam reorder touch only the
+        # generated-tail buffers — the prompt prefix is beam-invariant
+        cache = init_kv_cache(llm_cfg, b, max_len, gen_start=t)
         logits, cache = model.apply(params, batch, cache, method="prefill")
         last_idx = _last_valid_index(batch["attention_mask"])
         next_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
         prompt_len = batch["attention_mask"].sum(axis=1).astype(jnp.int32)  # (B,)
 
         v = next_logits.shape[-1]
-        cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}  # (L, B*K, ...)
+        # beams share the prompt prefix VERBATIM: keep "k"/"v" at B rows (the
+        # attention folds beams into query free dims — llm.
+        # _shared_prefix_decode_attention) and allocate the per-beam generated
+        # tails at B*K. Tiling the prefix cost a 646 MB broadcast that XLA
+        # re-materialized every step, plus K-fold prefix re-reads per step.
+        # Prefix-tuning prepends per-layer kv slots inside the attention and
+        # needs the tiled layout; beam+prefix-tuning is an unused combination.
+        if llm_cfg.peft_method == "prefix" and llm_cfg.prefix_tokens > 0:
+            cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}
+        else:
+            cache = {
+                "k": cache["k"],
+                "v": cache["v"],
+                "k_gen": jnp.zeros(
+                    (cache["k_gen"].shape[0], b * k) + cache["k_gen"].shape[2:],
+                    cache["k_gen"].dtype,
+                ),
+                "v_gen": jnp.zeros(
+                    (cache["v_gen"].shape[0], b * k) + cache["v_gen"].shape[2:],
+                    cache["v_gen"].dtype,
+                ),
+            }
         att = jnp.repeat(batch["attention_mask"], k, axis=0)  # (B*K, t)
         prompt_len_k = jnp.repeat(prompt_len, k, axis=0)
 

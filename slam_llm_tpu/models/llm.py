@@ -144,19 +144,123 @@ class LLMConfig:
         )
 
 
-# Cache for one layer stack: k/v shaped (L, B, max_len, n_kv, head_dim)
+# Cache for one layer stack: k/v shaped (L, B, max_len, n_kv, head_dim).
+# The SPLIT layout (init_kv_cache(gen_start=...)) separates the prompt
+# prefix ("k"/"v", written once at prefill, beam-invariant) from the
+# generated tail ("k_gen"/"v_gen", the only buffers decode writes and beam
+# search reorders) — absolute slot s >= gen_start lives at k_gen[:, :,
+# s - gen_start]. The split is what makes beam reorder and the per-token
+# write touch ~max_new slots instead of the whole max_len slab (the two
+# full-slab copies were 46% of the beam-4 step in the r4 trace).
 KVCache = Dict[str, jnp.ndarray]
 
 
-def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+def init_kv_cache(
+    cfg: LLMConfig,
+    batch: int,
+    max_len: int,
+    dtype=None,
+    gen_start: Optional[int] = None,
+) -> KVCache:
     dtype = dtype or cfg.dtype
-    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def _buf(n):
+        return (cfg.n_layers, batch, n, cfg.n_kv_heads, cfg.head_dim)
+
+    if gen_start is None:
+        return {"k": jnp.zeros(_buf(max_len), dtype), "v": jnp.zeros(_buf(max_len), dtype)}
+    if not 0 < gen_start < max_len:
+        raise ValueError(f"gen_start={gen_start} must be in (0, {max_len})")
+    return {
+        "k": jnp.zeros(_buf(gen_start), dtype),
+        "v": jnp.zeros(_buf(gen_start), dtype),
+        "k_gen": jnp.zeros(_buf(max_len - gen_start), dtype),
+        "v_gen": jnp.zeros(_buf(max_len - gen_start), dtype),
+    }
 
 
 def reorder_cache(cache: KVCache, beam_indices: jnp.ndarray) -> KVCache:
-    """Gather cache rows along the batch axis (beam search reorder)."""
-    return {k: jnp.take(v, beam_indices, axis=1) for k, v in cache.items()}
+    """Gather cache rows along the batch axis (beam search reorder).
+
+    On a split cache only the generated tail moves: prompt slots are
+    beam-invariant (every beam of a batch row starts as a copy of the same
+    prefill and decode only writes at ``cache_index >= gen_start``), so a
+    within-row beam permutation leaves the prefix fixed — the gather output
+    IS the next carry, no splice-back copy. ``mode="clip"`` because beam
+    indices are in bounds by construction (jnp.take's default "fill"
+    materializes a select over the whole cache).
+    """
+    prefix_fixed = "k_gen" in cache
+    return {
+        key: val
+        if prefix_fixed and key in ("k", "v")
+        else jnp.take(val, beam_indices, axis=1, mode="clip")
+        for key, val in cache.items()
+    }
+
+
+def _shared_prefix_decode_attention(
+    q: jnp.ndarray,        # (B*K, 1, H, D) rotated queries
+    prefix_k: jnp.ndarray,  # (B, t, Hkv, D) — beam-invariant prompt cache
+    prefix_v: jnp.ndarray,
+    gen_k: jnp.ndarray,    # (B*K, max_new, Hkv, D) — per-beam generated tail
+    gen_v: jnp.ndarray,
+    new_k: jnp.ndarray,    # (B*K, 1, Hkv, D) — this step's k/v
+    new_v: jnp.ndarray,
+    bias: jnp.ndarray,     # (B*K, 1, 1, t + max_new + 1) additive fp32
+) -> jnp.ndarray:
+    """Beam-decode attention with the prompt prefix kept at B rows.
+
+    Beams of a batch row share the prompt k/v verbatim, so the prefix score
+    dot folds the K beams into the query free dims — one prefix read per
+    batch row instead of K (the tiled layout's dominant decode-step traffic).
+    The joint softmax runs over the concatenated [prefix | gen | new] axis in
+    the same slot order as the tiled path; numerics mirror
+    ``layers._xla_attention`` (bf16 MXU dots with fp32 accumulation, fp32
+    softmax, all-masked rows defined as 0 output).
+    """
+    bk, tq, h, d = q.shape
+    bsz, t_prefix = prefix_k.shape[0], prefix_k.shape[1]
+    hkv = prefix_k.shape[2]
+    kbeams = bk // bsz
+    g = h // hkv
+    scale = 1.0 / math.sqrt(d)
+
+    # prefix logits: (B, K, Hkv, G, D) x (B, t, Hkv, D) -> (B, Hkv, G, K, t)
+    qg = q.reshape(bsz, kbeams, hkv, g, d)
+    lp = jnp.einsum(
+        "bKhgd,bthd->bhgKt", qg, prefix_k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    lp = lp.transpose(0, 3, 1, 2, 4).reshape(bk, hkv, g, 1, t_prefix)
+
+    # tail logits over [gen | new] at B*K rows (same slot order as the
+    # tiled concat path)
+    k_tail = jnp.concatenate([gen_k, new_k], axis=1).astype(q.dtype)
+    v_tail = jnp.concatenate([gen_v, new_v], axis=1).astype(q.dtype)
+    qt = q.reshape(bk, tq, hkv, g, d)
+    lt = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qt, k_tail, preferred_element_type=jnp.float32
+    ) * scale
+
+    logits = jnp.concatenate([lp, lt], axis=-1)  # (B*K, Hkv, G, 1, L+1)
+    row_live = jnp.any(bias > NEG_INF * 0.5, axis=-1)  # (B*K, 1, 1)
+    logits = logits + bias[:, :, None]  # (B*K,1,1,L+1) -> (B*K,1,1,1,L+1)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    pp = probs[..., :t_prefix].astype(q.dtype)  # (B*K, Hkv, G, 1, t)
+    pt = probs[..., t_prefix:].astype(q.dtype)
+    pp = pp.reshape(bsz, kbeams, hkv, g, t_prefix)
+    out_p = jnp.einsum(
+        "bKhgt,bthd->bKhgd", pp, prefix_v.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(bk, tq, h, d)
+    out_t = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", pt, v_tail, preferred_element_type=jnp.float32
+    ).reshape(bk, tq, h, d)
+    out = out_p + out_t
+    out = out * row_live.transpose(0, 2, 1)[..., None].astype(out.dtype)
+    return out.astype(q.dtype)
 
 
 class Attention(nn.Module):
@@ -187,11 +291,13 @@ class Attention(nn.Module):
         x: jnp.ndarray,  # (B, T, D)
         bias: Optional[jnp.ndarray],
         positions: jnp.ndarray,  # (B, T)
-        cache_k: Optional[jnp.ndarray] = None,  # (B, max_len, n_kv, hd)
+        cache_k: Optional[jnp.ndarray] = None,  # (B, max_len | prefix, n_kv, hd)
         cache_v: Optional[jnp.ndarray] = None,
         cache_index: Optional[jnp.ndarray] = None,  # scalar int32: write offset
         deterministic: bool = True,
         kv_mask: Optional[jnp.ndarray] = None,  # (B, T) structured mask (train)
+        gen_k: Optional[jnp.ndarray] = None,  # (B, max_new, n_kv, hd) split-cache tail
+        gen_v: Optional[jnp.ndarray] = None,
     ):
         c = self.cfg
         b, t, _ = x.shape
@@ -229,6 +335,7 @@ class Attention(nn.Module):
             k = apply_rope_tables(k, cos, sin)
 
         new_cache = None
+        shared_prefix_out = None
         if cache_k is not None:
             if bias is not None and t == 1:
                 # decode step: the cache is READ-ONLY here. Updating the slab
@@ -242,11 +349,32 @@ class Attention(nn.Module):
                 # the mask (it's where this token lands), so mask the STALE
                 # slab slot out and append the live token as an extra column.
                 new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
-                cols = jnp.arange(cache_k.shape[1])[None, None, None, :]
+                max_len = cache_k.shape[1] + (0 if gen_k is None else gen_k.shape[1])
+                cols = jnp.arange(max_len)[None, None, None, :]
                 bias = jnp.where(cols == cache_index, NEG_INF, bias)
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, 1)))
-                k = jnp.concatenate([cache_k, new_cache[0]], axis=1)
-                v = jnp.concatenate([cache_v, new_cache[1]], axis=1)
+                if gen_k is not None and cache_k.shape[0] != b:
+                    # SHARED-PREFIX beam decode: the prefix cache stays at B
+                    # rows while queries/tails run at B*K. Tiling the prefix
+                    # to B*K cost a 646 MB broadcast XLA re-materialized
+                    # every step AND made every beam re-read the same prompt
+                    # k/v (4x the HBM traffic) — the prompt is identical
+                    # across beams of a batch row, so fold the beams into the
+                    # query free dims and read the prefix once per row.
+                    if c.peft_method == "prefix" and c.prefix_tokens > 0:
+                        raise NotImplementedError(
+                            "prefix-tuning decode requires a tiled prefix "
+                            "cache (pass beams pre-tiled to B*K)"
+                        )
+                    shared_prefix_out = _shared_prefix_decode_attention(
+                        q, cache_k, cache_v, gen_k, gen_v,
+                        new_cache[0], new_cache[1], bias,
+                    )
+                else:
+                    kv_parts = [cache_k] if gen_k is None else [cache_k, gen_k]
+                    k = jnp.concatenate(kv_parts + [new_cache[0]], axis=1)
+                    kv_parts = [cache_v] if gen_v is None else [cache_v, gen_v]
+                    v = jnp.concatenate(kv_parts + [new_cache[1]], axis=1)
             else:
                 cache_k = jax.lax.dynamic_update_slice(
                     cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
@@ -292,13 +420,16 @@ class Attention(nn.Module):
             if bias is not None:
                 bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (p, 0)))
 
-        # no-cache training path carries a structured (kv_mask, causal) mask
-        # that lowers to the Pallas flash kernel on TPU
-        out = mha_attention(
-            q, k.astype(q.dtype), v.astype(q.dtype),
-            bias=bias, kv_mask=kv_mask, causal=bias is None,
-            rope=(cos, sin) if fused_rope else None,
-        )
+        if shared_prefix_out is not None:
+            out = shared_prefix_out
+        else:
+            # no-cache training path carries a structured (kv_mask, causal)
+            # mask that lowers to the Pallas flash kernel on TPU
+            out = mha_attention(
+                q, k.astype(q.dtype), v.astype(q.dtype),
+                bias=bias, kv_mask=kv_mask, causal=bias is None,
+                rope=(cos, sin) if fused_rope else None,
+            )
 
         if c.peft_method == "adaption_prompt" and c.adaption_prompt_len > 0:
             # llama-adapter: per-layer learnable prompt, zero-init tanh gate
@@ -387,12 +518,13 @@ class DecoderLayer(nn.Module):
     def __call__(
         self, x, bias, positions,
         cache_k=None, cache_v=None, cache_index=None, deterministic: bool = True,
-        kv_mask=None,
+        kv_mask=None, gen_k=None, gen_v=None,
     ):
         c = self.cfg
         h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="input_norm")(x)
         attn_out, new_cache = Attention(c, name="attn")(
-            h, bias, positions, cache_k, cache_v, cache_index, deterministic, kv_mask
+            h, bias, positions, cache_k, cache_v, cache_index, deterministic, kv_mask,
+            gen_k, gen_v,
         )
         x = x + attn_out
         h = RMSNorm(eps=c.rms_eps, dtype=c.dtype, param_dtype=c.param_dtype, name="post_attn_norm")(x)
@@ -437,8 +569,15 @@ class _ScannedDecoder(nn.Module):
 
         def body(block, carry, layer_cache):
             x, bias, positions, cache_index, kv_mask = carry
-            ck, cv = (None, None) if layer_cache is None else layer_cache
-            y, new_cache = block(x, bias, positions, ck, cv, cache_index, deterministic, kv_mask)
+            ck = cv = gk = gv = None
+            if layer_cache is not None:
+                if len(layer_cache) == 4:
+                    ck, cv, gk, gv = layer_cache
+                else:
+                    ck, cv = layer_cache
+            y, new_cache = block(
+                x, bias, positions, ck, cv, cache_index, deterministic, kv_mask, gk, gv
+            )
             return (y, bias, positions, cache_index, kv_mask), new_cache
 
         scan = nn.scan(
@@ -451,26 +590,48 @@ class _ScannedDecoder(nn.Module):
             unroll=max(1, min(c.scan_unroll, c.n_layers)),
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
-        xs = None if cache is None else (cache["k"], cache["v"])
+        split = cache is not None and "k_gen" in cache
+        if cache is None:
+            xs = None
+        elif split and bias is not None:
+            # decode on a split cache: layers read prefix + generated tail
+            xs = (cache["k"], cache["v"], cache["k_gen"], cache["v_gen"])
+        else:
+            # prefill (bias None) never reads past the fresh k/v, so a split
+            # cache's tail buffers stay out of the scan entirely
+            xs = (cache["k"], cache["v"])
         (x, _, _, _, _), stacked = scan(
             layer_cls(c, name="layers"), (x, bias, positions, cache_index, kv_mask), xs
         )
         if stacked is None:
             new_cache = None
-        elif stacked[0].shape[2] == cache["k"].shape[2]:
-            # prefill: each layer wrote its full slab (ys == cache shape)
-            new_cache = {"k": stacked[0], "v": stacked[1]}
+        elif stacked[0].shape[2] == cache["k"].shape[2] and bias is None:
+            # prefill: each layer wrote its full prefix slab (ys == slab shape)
+            new_cache = {**cache, "k": stacked[0], "v": stacked[1]}
         else:
             # decode (t == 1): ys carried only each layer's new-token k/v
             # (L, B, 1, Hkv, D) — one batched write into the caller's cache
             # (a while-loop carry, so XLA updates it in place) replaces the
-            # per-layer full-slab copies the in-attention update cost
+            # per-layer full-slab copies the in-attention update cost. On a
+            # split cache the write lands in the small gen-tail buffer at
+            # the gen-relative slot.
             z = jnp.int32(0)
-            idx = (z, z, jnp.asarray(cache_index, jnp.int32), z, z)
-            new_cache = {
-                "k": jax.lax.dynamic_update_slice(cache["k"], stacked[0], idx),
-                "v": jax.lax.dynamic_update_slice(cache["v"], stacked[1], idx),
-            }
+            slot = jnp.asarray(cache_index, jnp.int32)
+            if split:
+                slot = slot - cache["k"].shape[2]
+                idx = (z, z, slot, z, z)
+                new_cache = {
+                    "k": cache["k"],
+                    "v": cache["v"],
+                    "k_gen": jax.lax.dynamic_update_slice(cache["k_gen"], stacked[0], idx),
+                    "v_gen": jax.lax.dynamic_update_slice(cache["v_gen"], stacked[1], idx),
+                }
+            else:
+                idx = (z, z, slot, z, z)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(cache["k"], stacked[0], idx),
+                    "v": jax.lax.dynamic_update_slice(cache["v"], stacked[1], idx),
+                }
         return x, new_cache
 
 
