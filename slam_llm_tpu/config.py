@@ -113,6 +113,13 @@ class ShardConfig:
     # (~67% of the dense backward FLOPs); attention dx stays exact bf16.
     base_quant: str = "none"  # none | int8
     base_quant_bwd: str = "bf16"
+    # W8A8 lm_head inside the fused CE. WARNING: "int8" FAILS the shipped
+    # 0.30-nat trajectory quality gate (measured 1.1B 300-step delta 0.42,
+    # 91.9% of the bf16 loss drop — QUALITY_INT8.json / PERF.md experiments):
+    # the quantized logits feed the loss directly, so head-quant error is
+    # bias, not noise. Throughput-only knob (+5%); quality-gated runs keep
+    # "none".
+    ce_quant: str = "none"  # none | int8 | int8_sr
 
 
 @dataclass

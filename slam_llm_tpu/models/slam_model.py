@@ -339,6 +339,8 @@ def build_slam_config(train_config, model_config) -> SLAMConfig:
             "bwd_pretranspose": getattr(tc.shard, "bwd_pretranspose", False),
             "base_quant": getattr(tc.shard, "base_quant", "none"),
             "base_quant_bwd": getattr(tc.shard, "base_quant_bwd", "bf16"),
+            # opt-in, fails the shipped quality gate — see ShardConfig.ce_quant
+            "ce_quant": getattr(tc.shard, "ce_quant", "none"),
         }
     )
 
