@@ -11,7 +11,16 @@ BENCH_DECODE_r*.json — BASELINE.md's "Inference RTF: measured + reported"
 row; round-3 verdict weak #6: README prose was the only record).
 
 Run: python tools/bench_decode.py [--b 16] [--new-tokens 64] [--beams 1]
-     [--json BENCH_DECODE_r04.json]
+     [--quant none|int8] [--decompose] [--json BENCH_DECODE_r05.json]
+
+``--quant`` pins the weight precision (default follows the shipped train
+default, int8 since round 4 — note BENCH_DECODE_r04 rows therefore already
+ran int8 weights). ``--decompose`` measures the same config at two token
+counts and solves for per-decode-step ms vs the prefill+overhead constant —
+the roofline split: per-step time compares against the weight-streaming
+bound (streamed weight bytes / 819 GB/s v5e HBM), while the constant is
+encoder + 448-token prefill + dispatch, which the naive tok/s number
+wrongly amortizes into token cost (round-4 verdict weak #3).
 """
 
 from __future__ import annotations
@@ -35,30 +44,86 @@ from __graft_entry__ import _example_batch, _flagship_cfg
 T_MEL, T_TEXT, N_MELS, AUDIO_LEN = 3000, 448, 80, 300
 
 
-def main(b: int, new_tokens: int, beams: int, json_path: str = None):
+def _build(b: int, beams: int, quant: str):
     from slam_llm_tpu.inference.generate import GenerationConfig, Generator
     from slam_llm_tpu.models.slam_model import SLAMModel
 
-    cfg = _flagship_cfg()
+    # NOTE: the params keep the shipped train default's structure (incl. the
+    # int8_rot backward pair) so compiled decode programs are cache-compatible
+    # with the train bench's; decode itself never touches the rot leaves (XLA
+    # prunes dead args)
+    cfg = _flagship_cfg(base_quant=quant)
     model = SLAMModel(cfg)
     batch = _example_batch(b=b, t_mel=T_MEL, t_text=T_TEXT, n_mels=N_MELS, audio_len=AUDIO_LEN)
     batch = jax.tree_util.tree_map(jnp.asarray, dict(batch))
     batch.pop("labels", None)
-
     params = model.init(jax.random.PRNGKey(0), batch, method="init_all")
-    gen = Generator(model, GenerationConfig(num_beams=beams, max_new_tokens=new_tokens))
+    gen = Generator(model, GenerationConfig(num_beams=beams, max_new_tokens=512))
+    return gen, params, batch
 
-    out = gen.generate(params, batch, max_new_tokens=new_tokens)  # compile + warm
+
+def _timed(gen, params, batch, new_tokens: int) -> float:
+    gen.generate(params, batch, max_new_tokens=new_tokens)  # compile + warm
     t0 = time.perf_counter()
-    out = gen.generate(params, batch, max_new_tokens=new_tokens)  # noqa: F841
-    dt = time.perf_counter() - t0
+    gen.generate(params, batch, max_new_tokens=new_tokens)
+    return time.perf_counter() - t0
 
+
+def _streamed_bytes_per_step(quant: str) -> float:
+    """Weight bytes read per decode step (roofline denominator): 22 decoder
+    layers' dense kernels (int8 or bf16) + bf16 lm_head; embeddings are a
+    gather, norms/LoRA negligible; KV cache accounted separately."""
+    d, f, kv, layers, vocab = 2048, 5632, 4 * 64, 22, 32000
+    dense = layers * (d * d + 2 * d * kv + d * d + 3 * d * f)
+    wbytes = dense * (1 if quant == "int8" else 2)
+    return wbytes + d * vocab * 2  # lm_head stays bf16
+
+
+def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False):
+    gen, params, batch = _build(b, beams, quant)
+
+    if decompose:
+        n1, n2 = 32, 160
+        t1, t2 = _timed(gen, params, batch, n1), _timed(gen, params, batch, n2)
+        per_step = (t2 - t1) / (n2 - n1)
+        const = t1 - n1 * per_step
+        hbm = 819e9  # v5e
+        wbytes = _streamed_bytes_per_step(quant)
+        kv_len = T_TEXT + (n1 + n2) // 2
+        kvbytes = 22 * b * beams * kv_len * 2 * 256 * 2  # k+v, bf16, 4kv x 64
+        bound = (wbytes + kvbytes) / hbm
+        print(
+            f"decompose (beams={beams}, quant={quant}, b={b}): per-step "
+            f"{per_step*1e3:.2f} ms, prefill+overhead {const*1e3:.0f} ms; "
+            f"weight+KV streaming bound {bound*1e3:.2f} ms "
+            f"({wbytes/1e9:.2f} GB weights + {kvbytes/1e9:.2f} GB KV) -> "
+            f"{per_step/bound:.2f}x off the HBM roofline"
+        )
+        if json_path:
+            with open(json_path, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "metric": f"decode_decompose_{'beam'+str(beams) if beams>1 else 'greedy'}_{quant}",
+                            "per_step_ms": round(per_step * 1e3, 2),
+                            "prefill_overhead_ms": round(const * 1e3, 1),
+                            "hbm_bound_ms": round(bound * 1e3, 2),
+                            "x_off_roofline": round(per_step / bound, 2),
+                            "batch": b,
+                            "device": str(jax.devices()[0]),
+                        }
+                    )
+                    + "\n"
+                )
+        return
+
+    dt = _timed(gen, params, batch, new_tokens)
     toks_per_s = b * new_tokens / dt
     wall_per_utt = dt / b
     rtf = wall_per_utt / 30.0
     print(
-        f"batch {b} x {new_tokens} new tokens (beams={beams}): {dt*1e3:.0f} ms  "
-        f"-> {toks_per_s:.0f} tok/s/chip"
+        f"batch {b} x {new_tokens} new tokens (beams={beams}, quant={quant}): "
+        f"{dt*1e3:.0f} ms -> {toks_per_s:.0f} tok/s/chip"
     )
     print(
         f"RTF (30 s utterances): {rtf:.4f} "
@@ -73,6 +138,7 @@ def main(b: int, new_tokens: int, beams: int, json_path: str = None):
             "x_realtime": round(30.0 / wall_per_utt, 1),
             "batch": b,
             "new_tokens": new_tokens,
+            "quant": quant,
             "device": str(jax.devices()[0]),
         }
         with open(json_path, "a") as f:
@@ -84,6 +150,8 @@ if __name__ == "__main__":
     ap.add_argument("--b", type=int, default=16)
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--beams", type=int, default=1)
+    ap.add_argument("--quant", choices=["none", "int8"], default="int8")
+    ap.add_argument("--decompose", action="store_true")
     ap.add_argument("--json", default=None)
     a = ap.parse_args()
-    main(a.b, a.new_tokens, a.beams, a.json)
+    main(a.b, a.new_tokens, a.beams, a.json, a.quant, a.decompose)
