@@ -107,7 +107,11 @@ class ShardConfig:
     # 2x the bf16 rate (ops/quant.py). Requires freeze_llm. base_quant_bwd
     # picks the dx dot dtype: bf16 (exact — quality default; 1.1B evidence
     # in QUALITY_INT8.json) | int8_rot (2x rate, Hadamard-rotated dy +
-    # stochastic rounding — the best-quality fast backward) | int8_sr (2x
+    # stochastic rounding — the best-quality fast backward) | int8_rot_otf
+    # (int8_rot's gradients — equal up to re-derivation rounding — with the
+    # rotated weight derived on the fly in the backward: no second weight
+    # copy in HBM; use at 7B on a single 16 GB chip where int8_rot's copy
+    # OOMs) | int8_sr (2x
     # rate, stochastic rounding) | int8 (2x, deterministic — biased).
     # "_mlp"-suffixed modes (int8_rot_mlp) quantize dy on gate/up/down only
     # (~67% of the dense backward FLOPs); attention dx stays exact bf16.

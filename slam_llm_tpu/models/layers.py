@@ -167,7 +167,7 @@ class DenseGeneralLora(nn.Module):
                 )
                 w_rot = (kernel_qr, kernel_scale_r)
             bwd_seed = None
-            if self.quant_bwd in ("int8_sr", "int8_rot") and self.has_rng("quant"):
+            if self.quant_bwd in ("int8_sr", "int8_rot", "int8_rot_otf") and self.has_rng("quant"):
                 # per-module (and, under nn.scan split_rngs, per-layer) seed
                 # for the stochastically-rounded dy quantization; absent rng
                 # stream (eval / pure forward) falls back to a fixed seed —

@@ -83,7 +83,11 @@ class LLMConfig:
     # its SR quantization — flattens per-row outliers so the amax scale
     # stops crushing small gradient entries; the best-quality fast backward,
     # 1.1B delta 0.36 vs 0.75 for plain SR; costs one extra int8 weight
-    # copy in HBM), "int8_sr" (2x rate, stochastically-rounded dy) or
+    # copy in HBM), "int8_rot_otf" (same dx dot, rotated pair derived from
+    # the forward int8 pair inside the backward — same gradients up to
+    # re-derivation rounding (below the quantization noise floor), NO second
+    # weight copy: the 7B single-chip fit mode, see BENCH_7B_r05.json),
+    # "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).
     # Any fast mode takes an "_mlp" suffix (e.g. "int8_rot_mlp"): the fast
     # dx runs on the MLP denses only (gate/up/down — ~67% of the dense
@@ -91,7 +95,7 @@ class LLMConfig:
     # ~2/3 of the speedup for a fraction of the gradient-noise surface
     # (ops/quant.resolve_bwd). Requires freeze_llm (train.state.build_trainer).
     base_quant: str = "none"  # none | int8
-    base_quant_bwd: str = "bf16"  # bf16 | int8_rot | int8_sr | int8 | <mode>_mlp
+    base_quant_bwd: str = "bf16"  # bf16 | int8_rot | int8_rot_otf | int8_sr | int8 | <mode>_mlp
     # W8A8 lm_head inside the fused CE (ops/fused_ce.py quant=True): "int8"
     # quantizes the head dots (fwd + bwd recompute) and contracts the
     # dequantized kernel exactly for dx; "int8_sr" SR-quantizes the CE

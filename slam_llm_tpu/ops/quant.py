@@ -261,6 +261,44 @@ _int8_dot_bwdrot.defvjp(_int8_dot_bwdrot_fwd, _int8_dot_bwdrot_bwd)
 
 
 @jax.custom_vjp
+def _int8_dot_bwdrot_otf(x, x_q, x_s, w_q, w_scale, seed):
+    return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
+
+
+def _int8_dot_bwdrot_otf_fwd(x, x_q, x_s, w_q, w_scale, seed):
+    return (
+        _fwd_value(x_q, x_s, w_q, w_scale, x.dtype),
+        (w_q, w_scale, jnp.zeros((0,), x.dtype), seed),
+    )
+
+
+def _int8_dot_bwdrot_otf_bwd(res, dy):
+    # On-the-fly int8_rot: derive the rotated backward pair from the FORWARD
+    # int8 pair inside the backward itself — the SAME fp32 dequant->rotate->
+    # quantize chain quantize_base_params runs offline for the stored
+    # (kernel_qr, kernel_scale_r) pair — at ZERO extra HBM residency. Not
+    # bit-identical to the stored pair: XLA's fusion of the in-graph chain
+    # shifts the rotate dot by ~1 ulp vs the eager offline chain, flipping
+    # round-to-nearest on tie-adjacent entries by ±1 int8 — both are valid
+    # nearest roundings, and the gradient wobble measures BELOW the int8_rot
+    # quantization noise floor itself (tests/test_quant.py: 0.0046 vs 0.014
+    # rel-L2 against the exact backward). Trades the second 1-byte/param
+    # weight copy for a dequant+rotate+requant stream per dense per step
+    # (one extra w_q read plus a (K, F/b, b)x(b, b) Hadamard dot, ~b/T of
+    # the dx dot's FLOPs). At 7B that second copy is the difference between
+    # fitting the single v5e's 16 GB and OOM (BENCH_7B_r05.json: int8_rot
+    # resident 13.28 GB).
+    w_q, w_scale, x_proto, seed = res
+    w = dequantize_int8(w_q, w_scale, contract_axis=-2)
+    wr_q, wr_scale = rotate_quantize_bwd(w)
+    dx = _int8_dx_rot(dy, wr_q, wr_scale, x_proto.dtype, seed)
+    return (dx,) + _x_aux_cotangents(dx, dy, w_q, w_scale) + (_float0(seed),)
+
+
+_int8_dot_bwdrot_otf.defvjp(_int8_dot_bwdrot_otf_fwd, _int8_dot_bwdrot_otf_bwd)
+
+
+@jax.custom_vjp
 def _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale):
     return _fwd_value(x_q, x_s, w_q, w_scale, x.dtype)
 
@@ -307,6 +345,12 @@ def int8_dot(
     weight ``w_rot`` — the best-quality 2x-rate dx dot (1.1B traj delta
     0.36 vs 0.75 for plain SR, QUALITY_INT8.json trajectory_modes); needs
     ``w_rot=(wr_q, wr_scale)`` from ``rotate_quantize_bwd`` and ``bwd_seed``.
+    "int8_rot_otf" is the same dx dot with the rotated pair derived from
+    (w_q, w_scale) INSIDE the backward — same algorithm (gradient equal to
+    the stored pair's within re-derivation rounding, below the quantization
+    noise floor), no second weight copy in HBM (the 7B single-chip fit
+    mode), ~the weight-read bandwidth + a block-Hadamard dot of extra
+    backward work per dense.
     "int8_sr" quantizes dy per-row with STOCHASTIC rounding, unrotated;
     "int8" is the deterministic-rounding variant (its round-to-nearest zeroes
     dy entries under scale/2 and measurably stalls 1.1B LoRA training —
@@ -334,6 +378,12 @@ def int8_dot(
             x, x_q, x_s, w_q, w_scale, w_rot[0], w_rot[1],
             jax.lax.stop_gradient(bwd_seed),
         )
+    if bwd == "int8_rot_otf":
+        if bwd_seed is None:
+            bwd_seed = jnp.uint32(0)
+        return _int8_dot_bwdrot_otf(
+            x, x_q, x_s, w_q, w_scale, jax.lax.stop_gradient(bwd_seed)
+        )
     if bwd == "int8_sr":
         if bwd_seed is None:
             bwd_seed = jnp.uint32(0)
@@ -345,7 +395,8 @@ def int8_dot(
     if bwd == "bf16":
         return _int8_dot_bwdbf16(x, x_q, x_s, w_q, w_scale)
     raise ValueError(
-        f"int8_dot bwd={bwd!r}: expected 'int8_rot', 'int8_sr', 'int8' or 'bf16'"
+        f"int8_dot bwd={bwd!r}: expected 'int8_rot', 'int8_rot_otf', "
+        f"'int8_sr', 'int8' or 'bf16'"
     )
 
 
