@@ -166,6 +166,22 @@ def _make_kernel(has_fold: bool, has_seed: bool, rot_b: int):
     return kernel
 
 
+def _fit_block_m(k: int, block_m: int, rot: bool) -> int:
+    """Largest row block (≤ ``block_m``, halved to ≥8) whose per-grid-cell
+    VMEM envelope fits the ~16 MB scoped budget. Envelope calibrated from
+    the compiler's accounting at (128, 11008): ~12.4 B/elem WITH rotation
+    (bf16 in, double-buffered, + f32 rotated copy + concat temp + int8 out)
+    — that shape (vicuna-7b's MLP dy) overflowed by 1.36M at block 128 —
+    and ~8 B/elem without. 1.1B-scale shapes (k ≤ 8192 unrotated, ≤ 5632
+    rotated) keep the full 128-row block, so this changes nothing at the
+    bench shape."""
+    budget = 12 * 2**20
+    per = 13 if rot else 8
+    while block_m > 8 and block_m * k * per > budget:
+        block_m //= 2
+    return block_m
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret", "rot_b"))
 def _rowquant_2d(x, fold, seed, *, block_m: int, interpret: bool, rot_b: int = 0):
     m, k = x.shape
@@ -250,7 +266,8 @@ def rowquant(
     lead = x.shape[:-1]
     # k % 128 == 0 here, so rot_block(k) >= 128 — full lane tiles either way
     q, s = _rowquant_2d(
-        x.reshape(-1, k), fold, seed, block_m=block_m, interpret=False,
+        x.reshape(-1, k), fold, seed,
+        block_m=_fit_block_m(k, block_m, rotate), interpret=False,
         rot_b=rot_block(k) if rotate else 0,
     )
     return q.reshape(*lead, k), s.reshape(*lead, 1)

@@ -255,6 +255,24 @@ def test_int8_rot_otf_model_grads_match_stored_and_drop_the_copy():
     assert rel < 0.05, rel
 
 
+def test_rowquant_block_autosizes_to_vmem_envelope():
+    """The Pallas rowquant row-block shrinks for wide rows so the per-cell
+    scoped-VMEM envelope fits (~16 MB): vicuna-7b's MLP dy (k=11008,
+    rotated) overflowed by 1.36M at the default 128-row block. 1.1B bench
+    shapes must keep the full block (no throughput regression)."""
+    from slam_llm_tpu.ops.kernels.rowquant import _fit_block_m
+
+    # 1.1B shapes: unchanged
+    assert _fit_block_m(2048, 128, False) == 128
+    assert _fit_block_m(5632, 128, True) == 128
+    assert _fit_block_m(8192, 128, False) == 128
+    # 7B rotated MLP width: shrinks under the 12 MB working budget
+    bm = _fit_block_m(11008, 128, True)
+    assert bm < 128 and bm * 11008 * 13 <= 12 * 2**20
+    # very wide rows (CE-head vocab dim) shrink too, never below 8
+    assert 8 <= _fit_block_m(32000, 128, False) < 128
+
+
 def test_quantize_base_params_rot_pair_derived_never_trusted():
     """bwd='int8_rot' derives (kernel_qr, kernel_scale_r) from kernel_q —
     and OVERWRITES a stale pair (module.init draws it independently)."""
