@@ -110,8 +110,10 @@ class ShardConfig:
     # stochastic rounding — the best-quality fast backward) | int8_rot_otf
     # (int8_rot's gradients — equal up to re-derivation rounding — with the
     # rotated weight derived on the fly in the backward: no second weight
-    # copy in HBM; use at 7B on a single 16 GB chip where int8_rot's copy
-    # OOMs) | int8_sr (2x
+    # copy in HBM. The 1-chip 7B mode — int8_rot's stored copy OOMs there —
+    # at a measured ~35% step cost vs int8_sr (BENCH_7B_r05.json); from 2
+    # chips up fsdp shards the stored pair and plain int8_rot is better)
+    # | int8_sr (2x
     # rate, stochastic rounding) | int8 (2x, deterministic — biased).
     # "_mlp"-suffixed modes (int8_rot_mlp) quantize dy on gate/up/down only
     # (~67% of the dense backward FLOPs); attention dx stays exact bf16.

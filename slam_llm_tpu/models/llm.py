@@ -86,7 +86,9 @@ class LLMConfig:
     # copy in HBM), "int8_rot_otf" (same dx dot, rotated pair derived from
     # the forward int8 pair inside the backward — same gradients up to
     # re-derivation rounding (below the quantization noise floor), NO second
-    # weight copy: the 7B single-chip fit mode, see BENCH_7B_r05.json),
+    # weight copy: the 7B single-chip fit mode at a measured ~35% step cost
+    # vs int8_sr from the per-step re-derivation — BENCH_7B_r05.json; on a
+    # 2+-chip fsdp mesh prefer stored int8_rot, whose sharded copy fits),
     # "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).
     # Any fast mode takes an "_mlp" suffix (e.g. "int8_rot_mlp"): the fast

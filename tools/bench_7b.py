@@ -59,6 +59,11 @@ MODES = {
     "int8_sr": ("int8", "int8_sr", "dots_flash_saveable"),
     "int8_sr_lean": ("int8", "int8_sr", "nothing_saveable"),
     "int8_rot": ("int8", "int8_rot", "nothing_saveable"),
+    # int8_rot without the second rotated weight copy (derived on the fly in
+    # the backward — ops/quant.py): int8_rot's gradient quality at int8_sr's
+    # memory footprint. THE 7B single-chip mode: stored int8_rot OOMs here.
+    "int8_rot_otf": ("int8", "int8_rot_otf", "dots_flash_saveable"),
+    "int8_rot_otf_lean": ("int8", "int8_rot_otf", "nothing_saveable"),
     "bf16": ("none", "bf16", "nothing_saveable"),
 }
 
@@ -258,6 +263,7 @@ def main():
     # measurements that matter.
     plan = [
         ("int8_sr", 4),
+        ("int8_rot_otf", 4),
         ("int8_sr_lean", 8), ("int8_sr_lean", 16),
         ("int8_bf16bwd_lean", 8),
         ("int8_rot", 4),
