@@ -107,6 +107,23 @@ class Generator:
     def __init__(self, model, gen_cfg: GenerationConfig):
         self.model = model
         self.cfg = gen_cfg
+        # decode-specialized twin with the layer loop UNROLLED: under the
+        # rolled lax.scan every iteration dynamic-slices its layer's stacked
+        # params with a loop-carried index — a materialized copy XLA cannot
+        # fuse into the dots, measured at 30 us x 22 layers = 0.67 ms/step
+        # (#2 op in the beam-step trace; ~20% of the greedy step). Unrolled,
+        # the slices have constant starts — leading-axis views the dots read
+        # in place. Same param tree (unroll changes lowering, not structure);
+        # prefill keeps the rolled loop (22 flash-attention bodies would
+        # multiply compile time for no streaming win).
+        self.model_decode = model
+        llm = getattr(model.cfg, "llm", None)
+        if llm is not None and llm.scan_unroll < llm.n_layers:
+            import dataclasses as _dc
+
+            self.model_decode = type(model)(
+                _dc.replace(model.cfg, llm=_dc.replace(llm, scan_unroll=llm.n_layers))
+            )
         self._greedy_jit = jax.jit(self._greedy, static_argnames=("max_new",))
         self._beam_jit = jax.jit(self._beam, static_argnames=("max_new", "num_beams"))
 
@@ -175,7 +192,7 @@ class Generator:
             )
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
 
-            logits, cache = model.apply(
+            logits, cache = self.model_decode.apply(
                 params, prev, cache, jnp.int32(cache_index), step_mask,
                 pos, method="decode_step",
             )
@@ -276,8 +293,19 @@ class Generator:
             sources (for cache/token-count reorder) and the step's hit mask.
             """
             fin_tokens, fin_scores, fin_flags = fin
-            cand = (run_scores[:, :, None] + logp).reshape(b, k * v)
-            c_scores, c_idx = jax.lax.top_k(cand, k2)  # (B, 2K) sorted desc
+            cand = run_scores[:, :, None] + logp  # (B, K, V)
+            # exact top-2K in two stages: the global top-2K is a subset of
+            # the per-beam top-2Ks (≤2K winners can come from one beam), and
+            # the K*V-wide single top_k was the #3 op in the beam-step trace
+            # (567 us/step vs 58 for this form — sort cost scales with row
+            # width). Tie-breaking matches the flat form: top_k is stable by
+            # index, the merge rows group beams in flat-index order.
+            s_pb, i_pb = jax.lax.top_k(cand.reshape(b * k, v), k2)  # (B*K, 2K)
+            beam_base = (jnp.arange(b * k, dtype=jnp.int32) % k)[:, None] * v
+            c_scores, sel2 = jax.lax.top_k(s_pb.reshape(b, k * k2), k2)
+            c_idx = jnp.take_along_axis(
+                (i_pb + beam_base).reshape(b, k * k2), sel2, axis=1
+            )  # (B, 2K) sorted desc, flat K*V indexing
             c_src = c_idx // v
             c_tok = (c_idx % v).astype(jnp.int32)
             # candidate sequences: parent prefix + new token at slot i
@@ -358,7 +386,7 @@ class Generator:
             prompt_valid = jnp.pad(att.astype(bool), ((0, 0), (0, max_len - t)))
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
 
-            logits, cache = model.apply(
+            logits, cache = self.model_decode.apply(
                 params, tok[:, None], cache, jnp.int32(cache_index), step_mask, pos,
                 method="decode_step",
             )
