@@ -110,9 +110,10 @@ class ShardConfig:
     # stochastic rounding — the best-quality fast backward) | int8_rot_otf
     # (int8_rot's gradients — equal up to re-derivation rounding — with the
     # rotated weight derived on the fly in the backward: no second weight
-    # copy in HBM. The 1-chip 7B mode — int8_rot's stored copy OOMs there —
-    # at a measured ~35% step cost vs int8_sr (BENCH_7B_r05.json); from 2
-    # chips up fsdp shards the stored pair and plain int8_rot is better)
+    # copy in HBM. Measured DOMINATED at the 7B 1-chip shape: its ~35%
+    # re-derivation cost exceeds just running dx exact in bf16 (5.71 vs
+    # 7.80 utt/s, BENCH_7B_r05.json) — the 7B recipe ships bwd=bf16; from
+    # 2 chips up fsdp shards the stored pair and plain int8_rot is better)
     # | int8_sr (2x
     # rate, stochastic rounding) | int8 (2x, deterministic — biased).
     # "_mlp"-suffixed modes (int8_rot_mlp) quantize dy on gate/up/down only

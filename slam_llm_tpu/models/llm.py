@@ -85,9 +85,10 @@ class LLMConfig:
     # 1.1B delta 0.36 vs 0.75 for plain SR; costs one extra int8 weight
     # copy in HBM), "int8_rot_otf" (same dx dot, rotated pair derived from
     # the forward int8 pair inside the backward — same gradients up to
-    # re-derivation rounding (below the quantization noise floor), NO second
-    # weight copy: the 7B single-chip fit mode at a measured ~35% step cost
-    # vs int8_sr from the per-step re-derivation — BENCH_7B_r05.json; on a
+    # re-derivation rounding (below the quantization noise floor), NO
+    # second weight copy. Measured at the 7B 1-chip shape the per-step
+    # re-derivation costs MORE than running dx exact in bf16 (5.71 vs 7.80
+    # utt/s, BENCH_7B_r05.json) — the 7B recipe ships bwd="bf16"; on a
     # 2+-chip fsdp mesh prefer stored int8_rot, whose sharded copy fits),
     # "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).

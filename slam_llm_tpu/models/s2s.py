@@ -470,6 +470,17 @@ class S2SGenerator:
                  audio_repetition_penalty: float = 1.0,
                  num_latency_tokens: int = 0, decode_text_only: bool = False):
         self.model = model
+        # unroll the decode layer loop (same rationale as
+        # inference.generate.Generator.model_decode: the rolled scan's
+        # per-layer dynamic-slice materializes a params copy per step)
+        llm = model.cfg.llm
+        if llm.scan_unroll < llm.n_layers:
+            import dataclasses as _dc
+
+            model = type(model)(
+                _dc.replace(model.cfg, llm=_dc.replace(llm, scan_unroll=llm.n_layers))
+            )
+        self.model_decode = model
         self.max_new_tokens = max_new_tokens
         self.do_sample = do_sample
         self.temperature = temperature
@@ -609,13 +620,13 @@ class S2SGenerator:
             )
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
             if model.cfg.tts_adapter:
-                xt_n, xa_n, cache, a_cache = model.apply(
+                xt_n, xa_n, cache, a_cache = self.model_decode.apply(
                     params, shifted, cache, a_cache, jnp.int32(cache_index),
                     step_mask, pos, method="decode_step_tts",
                 )
                 next_xt, next_xa = xt_n[:, 0], xa_n[:, :, 0]
             else:
-                logits, cache = model.apply(
+                logits, cache = self.model_decode.apply(
                     params, shifted, cache, jnp.int32(cache_index), step_mask, pos,
                     method="decode_step",
                 )
