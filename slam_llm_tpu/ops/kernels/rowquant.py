@@ -264,6 +264,11 @@ def rowquant(
     if interpret or k % 128 != 0 or x.size == 0:
         return _xla_rowquant(x, fold, seed, rotate)
     lead = x.shape[:-1]
+    m = x.size // k
+    # clamp the row block to the actual row count (sublane-aligned): decode
+    # steps quantize 16-row activations, where a 128-row block is pure
+    # padding work on every call
+    block_m = min(block_m, max(8, -(-m // 8) * 8))
     # k % 128 == 0 here, so rot_block(k) >= 128 — full lane tiles either way
     q, s = _rowquant_2d(
         x.reshape(-1, k), fold, seed,
