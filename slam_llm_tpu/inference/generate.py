@@ -107,15 +107,20 @@ class Generator:
     def __init__(self, model, gen_cfg: GenerationConfig):
         self.model = model
         self.cfg = gen_cfg
-        # decode-specialized twin with the layer loop UNROLLED: under the
-        # rolled lax.scan every iteration dynamic-slices its layer's stacked
-        # params with a loop-carried index — a materialized copy XLA cannot
-        # fuse into the dots, measured at 30 us x 22 layers = 0.67 ms/step
-        # (#2 op in the beam-step trace; ~20% of the greedy step). Unrolled,
-        # the slices have constant starts — leading-axis views the dots read
-        # in place. Same param tree (unroll changes lowering, not structure);
-        # prefill keeps the rolled loop (22 flash-attention bodies would
-        # multiply compile time for no streaming win).
+        # BEAM-decode-specialized twin with the layer loop UNROLLED: under
+        # the rolled lax.scan every iteration dynamic-slices its layer's
+        # stacked params with a loop-carried index — a materialized copy XLA
+        # cannot fuse into the dots, measured at 30 us x 22 layers =
+        # 0.67 ms/step (#2 op in the beam-step trace). Unrolled, the slices
+        # have constant starts — leading-axis views the dots read in place:
+        # beam-4 per-step 13.7 -> 11.8 ms (with the two-stage top-k), 200-
+        # token wall -24%. GREEDY keeps the rolled loop: there the slice
+        # copy doubles as pipelined weight PREFETCH the while loop overlaps
+        # with compute, and unrolling measured SLOWER at the margin (int8
+        # slope 3.34 -> 3.72 ms/step, bf16 4.45 -> 5.31) — beam's fatter
+        # per-step body re-hides the weight reads, greedy's cannot. Same
+        # param tree either way (unroll changes lowering, not structure);
+        # prefill keeps the rolled loop too.
         self.model_decode = model
         llm = getattr(model.cfg, "llm", None)
         if llm is not None and llm.scan_unroll < llm.n_layers:
@@ -192,7 +197,7 @@ class Generator:
             )
             step_mask = (prompt_valid | gen_valid).astype(jnp.int32)
 
-            logits, cache = self.model_decode.apply(
+            logits, cache = model.apply(
                 params, prev, cache, jnp.int32(cache_index), step_mask,
                 pos, method="decode_step",
             )

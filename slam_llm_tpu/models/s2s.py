@@ -470,16 +470,11 @@ class S2SGenerator:
                  audio_repetition_penalty: float = 1.0,
                  num_latency_tokens: int = 0, decode_text_only: bool = False):
         self.model = model
-        # unroll the decode layer loop (same rationale as
-        # inference.generate.Generator.model_decode: the rolled scan's
-        # per-layer dynamic-slice materializes a params copy per step)
-        llm = model.cfg.llm
-        if llm.scan_unroll < llm.n_layers:
-            import dataclasses as _dc
-
-            model = type(model)(
-                _dc.replace(model.cfg, llm=_dc.replace(llm, scan_unroll=llm.n_layers))
-            )
+        # the decode step keeps the ROLLED layer loop: unrolling it (the
+        # beam-search win in inference.generate.Generator.model_decode)
+        # measured neutral here (5894 vs 5960 semantic tok/s — the 0.5B
+        # group-decode step is not weight-slice-bound), so the simpler
+        # single-program form ships
         self.model_decode = model
         self.max_new_tokens = max_new_tokens
         self.do_sample = do_sample
