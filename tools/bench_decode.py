@@ -44,18 +44,28 @@ from __graft_entry__ import _example_batch, _flagship_cfg
 T_MEL, T_TEXT, N_MELS, AUDIO_LEN = 3000, 448, 80, 300
 
 
-def _build(b: int, beams: int, quant: str):
+def _build(b: int, beams: int, quant: str, seven_b: bool = False):
     from slam_llm_tpu.inference.generate import GenerationConfig, Generator
     from slam_llm_tpu.models.slam_model import SLAMModel
 
-    # NOTE: the params keep the shipped train default's structure (incl. the
-    # int8_rot backward pair) so compiled decode programs are cache-compatible
-    # with the train bench's; decode itself never touches the rot leaves (XLA
-    # prunes dead args)
-    cfg = _flagship_cfg(base_quant=quant)
+    if seven_b:
+        # the reference's real decode shape: wavlm-large + vicuna-7b
+        # (tools/bench_7b.py builds the same cfg the 7B train bench ran)
+        from tools.bench_7b import batch7b, flagship7b_cfg
+
+        cfg = flagship7b_cfg(quant, "bf16", "nothing_saveable")
+        batch = {k: jnp.asarray(v) for k, v in batch7b(b).items()}
+    else:
+        # NOTE: the params keep the shipped train default's structure (incl.
+        # the int8_rot backward pair) so compiled decode programs are
+        # cache-compatible with the train bench's; decode itself never
+        # touches the rot leaves (XLA prunes dead args)
+        cfg = _flagship_cfg(base_quant=quant)
+        batch = _example_batch(
+            b=b, t_mel=T_MEL, t_text=T_TEXT, n_mels=N_MELS, audio_len=AUDIO_LEN
+        )
+        batch = jax.tree_util.tree_map(jnp.asarray, dict(batch))
     model = SLAMModel(cfg)
-    batch = _example_batch(b=b, t_mel=T_MEL, t_text=T_TEXT, n_mels=N_MELS, audio_len=AUDIO_LEN)
-    batch = jax.tree_util.tree_map(jnp.asarray, dict(batch))
     batch.pop("labels", None)
     params = model.init(jax.random.PRNGKey(0), batch, method="init_all")
     gen = Generator(model, GenerationConfig(num_beams=beams, max_new_tokens=512))
@@ -69,18 +79,23 @@ def _timed(gen, params, batch, new_tokens: int) -> float:
     return time.perf_counter() - t0
 
 
-def _streamed_bytes_per_step(quant: str) -> float:
-    """Weight bytes read per decode step (roofline denominator): 22 decoder
+def _streamed_bytes_per_step(quant: str, seven_b: bool = False) -> float:
+    """Weight bytes read per decode step (roofline denominator): the decoder
     layers' dense kernels (int8 or bf16) + bf16 lm_head; embeddings are a
     gather, norms/LoRA negligible; KV cache accounted separately."""
-    d, f, kv, layers, vocab = 2048, 5632, 4 * 64, 22, 32000
+    if seven_b:
+        d, f, kv, layers, vocab = 4096, 11008, 32 * 128, 32, 32000
+    else:
+        d, f, kv, layers, vocab = 2048, 5632, 4 * 64, 22, 32000
     dense = layers * (d * d + 2 * d * kv + d * d + 3 * d * f)
     wbytes = dense * (1 if quant == "int8" else 2)
     return wbytes + d * vocab * 2  # lm_head stays bf16
 
 
-def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False):
-    gen, params, batch = _build(b, beams, quant)
+def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False,
+         seven_b=False):
+    gen, params, batch = _build(b, beams, quant, seven_b)
+    layers, kv_width = (32, 4096) if seven_b else (22, 256)
 
     if decompose:
         n1, n2 = 32, 160
@@ -88,9 +103,9 @@ def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False):
         per_step = (t2 - t1) / (n2 - n1)
         const = t1 - n1 * per_step
         hbm = 819e9  # v5e
-        wbytes = _streamed_bytes_per_step(quant)
+        wbytes = _streamed_bytes_per_step(quant, seven_b)
         kv_len = T_TEXT + (n1 + n2) // 2
-        kvbytes = 22 * b * beams * kv_len * 2 * 256 * 2  # k+v, bf16, 4kv x 64
+        kvbytes = layers * b * beams * kv_len * 2 * kv_width * 2  # k+v, bf16
         bound = (wbytes + kvbytes) / hbm
         print(
             f"decompose (beams={beams}, quant={quant}, b={b}): per-step "
@@ -104,7 +119,8 @@ def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False):
                 f.write(
                     json.dumps(
                         {
-                            "metric": f"decode_decompose_{'beam'+str(beams) if beams>1 else 'greedy'}_{quant}",
+                            "metric": f"decode_decompose_{'beam'+str(beams) if beams>1 else 'greedy'}_{quant}"
+                            + ("_7b" if seven_b else ""),
                             "per_step_ms": round(per_step * 1e3, 2),
                             "prefill_overhead_ms": round(const * 1e3, 1),
                             "hbm_bound_ms": round(bound * 1e3, 2),
@@ -131,7 +147,8 @@ def main(b, new_tokens, beams, json_path=None, quant="int8", decompose=False):
     )
     if json_path:
         row = {
-            "metric": f"decode_{'beam' + str(beams) if beams > 1 else 'greedy'}",
+            "metric": f"decode_{'beam' + str(beams) if beams > 1 else 'greedy'}"
+            + ("_7b" if seven_b else ""),
             "value": round(toks_per_s, 1),
             "unit": "tokens/sec/chip",
             "rtf_30s": round(rtf, 5),
@@ -152,6 +169,10 @@ if __name__ == "__main__":
     ap.add_argument("--beams", type=int, default=1)
     ap.add_argument("--quant", choices=["none", "int8"], default="int8")
     ap.add_argument("--decompose", action="store_true")
+    ap.add_argument(
+        "--seven-b", action="store_true",
+        help="decode the 7B flagship (wavlm-large + vicuna-7b, tools/bench_7b.py's cfg)",
+    )
     ap.add_argument("--json", default=None)
     a = ap.parse_args()
-    main(a.b, a.new_tokens, a.beams, a.json, a.quant, a.decompose)
+    main(a.b, a.new_tokens, a.beams, a.json, a.quant, a.decompose, a.seven_b)
