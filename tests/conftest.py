@@ -32,17 +32,43 @@ import shutil as _shutil
 from pathlib import Path
 
 _seed = Path(__file__).resolve().parent / ".jax_compile_cache"
-# key the /tmp dir by (jax version, seed dir manifest) so a refreshed
-# committed seed (or a jax upgrade) always takes effect — a stale /tmp
-# cache from an older build would otherwise silently shadow the seed and
-# reproduce the cold-compile wall the seed exists to fix
-_manifest = jax.__version__
-if _seed.is_dir():
+
+
+def _cpu_fingerprint() -> str:
+    """Hash of this host's CPU feature flags. XLA:CPU cache entries are AOT
+    machine code compiled FOR the builder's CPU — loading them on a host
+    with different features logs 'could lead to execution errors such as
+    SIGILL' and was observed to abort (SIGABRT mid-suite, ~1 run in 3) when
+    the committed seed came from a different machine type. The seed ships a
+    HOST_FINGERPRINT file; on mismatch the suite compiles cold instead of
+    running foreign machine code."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return _hashlib.sha1(line.encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    return "unknown"
+
+
+_fp = _cpu_fingerprint()
+_seed_fp_file = _seed / "HOST_FINGERPRINT"
+_seed_ok = _seed.is_dir() and _seed_fp_file.is_file() and (
+    _seed_fp_file.read_text().strip() == _fp
+)
+# key the /tmp dir by (jax version, host fingerprint, seed dir manifest) so
+# a refreshed committed seed, a jax upgrade, or a different host always
+# takes effect — a stale /tmp cache from an older build would otherwise
+# silently shadow the seed and reproduce the cold-compile wall (or the
+# foreign-host aborts) the keying exists to fix
+_manifest = jax.__version__ + _fp
+if _seed_ok:
     _manifest += "".join(
         sorted(f"{p.name}:{p.stat().st_size}" for p in _seed.iterdir())
     )
 _cache = Path(f"/tmp/jax_cache_{_hashlib.sha1(_manifest.encode()).hexdigest()[:12]}")
-if _seed.is_dir() and not _cache.exists():
+if _seed_ok and not _cache.exists():
     _shutil.copytree(_seed, _cache)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
