@@ -108,13 +108,14 @@ class ShardConfig:
     # picks the dx dot dtype: bf16 (exact — quality default; 1.1B evidence
     # in QUALITY_INT8.json) | int8_rot (2x rate, Hadamard-rotated dy +
     # stochastic rounding — the best-quality fast backward) | int8_rot_otf
-    # (int8_rot's gradients — equal up to re-derivation rounding — with the
-    # rotated weight derived on the fly in the backward: no second weight
-    # copy in HBM. Measured DOMINATED at the 7B 1-chip shape: its ~35%
-    # re-derivation cost exceeds just running dx exact in bf16 (5.71 vs
-    # 7.80 utt/s, BENCH_7B_r05.json) — the 7B recipe ships bwd=bf16; from
-    # 2 chips up fsdp shards the stored pair and plain int8_rot is better)
-    # | int8_sr (2x
+    # (int8_rot's PER-STEP gradients — equal up to re-derivation rounding;
+    # the adversarial single-batch trajectory probe diverges anyway, see
+    # PERF.md — with the rotated weight derived on the fly in the backward:
+    # no second weight copy in HBM. Measured DOMINATED at the 7B 1-chip
+    # shape: its ~35% re-derivation cost exceeds just running dx exact in
+    # bf16 (5.71 vs 7.80 utt/s, BENCH_7B_r05.json) — the 7B recipe ships
+    # bwd=bf16; from 2 chips up fsdp shards the stored pair and plain
+    # int8_rot is better) | int8_sr (2x
     # rate, stochastic rounding) | int8 (2x, deterministic — biased).
     # "_mlp"-suffixed modes (int8_rot_mlp) quantize dy on gate/up/down only
     # (~67% of the dense backward FLOPs); attention dx stays exact bf16.

@@ -84,12 +84,13 @@ class LLMConfig:
     # stops crushing small gradient entries; the best-quality fast backward,
     # 1.1B delta 0.36 vs 0.75 for plain SR; costs one extra int8 weight
     # copy in HBM), "int8_rot_otf" (same dx dot, rotated pair derived from
-    # the forward int8 pair inside the backward — same gradients up to
-    # re-derivation rounding (below the quantization noise floor), NO
-    # second weight copy. Measured at the 7B 1-chip shape the per-step
-    # re-derivation costs MORE than running dx exact in bf16 (5.71 vs 7.80
-    # utt/s, BENCH_7B_r05.json) — the 7B recipe ships bwd="bf16"; on a
-    # 2+-chip fsdp mesh prefer stored int8_rot, whose sharded copy fits),
+    # the forward int8 pair inside the backward — same PER-STEP gradients
+    # up to re-derivation rounding, NO second weight copy; the adversarial
+    # single-batch trajectory probe diverges anyway, see PERF.md's caveat.
+    # Measured at the 7B 1-chip shape the per-step re-derivation costs MORE
+    # than running dx exact in bf16 (5.71 vs 7.80 utt/s, BENCH_7B_r05.json)
+    # — the 7B recipe ships bwd="bf16"; on a 2+-chip fsdp mesh prefer
+    # stored int8_rot, whose sharded copy fits),
     # "int8_sr" (2x rate, stochastically-rounded dy) or
     # "int8" (2x, deterministic rounding — biased; kept for comparison).
     # Any fast mode takes an "_mlp" suffix (e.g. "int8_rot_mlp"): the fast

@@ -346,11 +346,13 @@ def int8_dot(
     0.36 vs 0.75 for plain SR, QUALITY_INT8.json trajectory_modes); needs
     ``w_rot=(wr_q, wr_scale)`` from ``rotate_quantize_bwd`` and ``bwd_seed``.
     "int8_rot_otf" is the same dx dot with the rotated pair derived from
-    (w_q, w_scale) INSIDE the backward — same algorithm (gradient equal to
-    the stored pair's within re-derivation rounding, below the quantization
-    noise floor), no second weight copy in HBM (the 7B single-chip fit
-    mode), ~the weight-read bandwidth + a block-Hadamard dot of extra
-    backward work per dense.
+    (w_q, w_scale) INSIDE the backward — same algorithm (PER-STEP gradient
+    equal to the stored pair's within re-derivation rounding, below the
+    quantization noise floor; the adversarial single-batch trajectory probe
+    diverges anyway — see PERF.md's disclosed caveat), no second weight
+    copy in HBM, ~the weight-read bandwidth + a block-Hadamard dot of
+    extra backward work per dense; measured slower than bwd="bf16" at the
+    7B single-chip shape, so it ships as a knob, not a default.
     "int8_sr" quantizes dy per-row with STOCHASTIC rounding, unrotated;
     "int8" is the deterministic-rounding variant (its round-to-nearest zeroes
     dy entries under scale/2 and measurably stalls 1.1B LoRA training —

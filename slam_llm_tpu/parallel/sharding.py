@@ -65,6 +65,12 @@ def make_mesh(
         if n % (fsdp * tp) != 0:
             raise ValueError(f"{n} devices not divisible by fsdp*tp={fsdp * tp}")
         dp = n // (fsdp * tp)
+    if dp * fsdp * tp < n:
+        # an explicit mesh SMALLER than the world takes the leading devices
+        # (single-device debugging on a multi-device backend; dp=-1 keeps
+        # absorbing everything by default)
+        devices = devices[: dp * fsdp * tp]
+        n = len(devices)
     if dp * fsdp * tp != n:
         raise ValueError(f"mesh {dp}x{fsdp}x{tp} != {n} devices")
     arr = np.asarray(devices).reshape(dp, fsdp, tp)

@@ -27,6 +27,18 @@ from slam_llm_tpu.utils.checkpoint import save_state, save_trainable
 from slam_llm_tpu.utils.logging_utils import MemoryTrace, MetricsLogger
 
 
+def _serial_dispatch_needed() -> bool:
+    """XLA:CPU's in-process collectives DEADLOCK when two asynchronously
+    enqueued executions interleave: the per-device thunk-executor threads
+    can enter different programs' collectives in different orders (observed
+    on the 8-virtual-device test mesh: 7 threads waiting in one program's
+    all-reduce rendezvous, 1 in the next program's, both forever — XLA
+    kills the process when its termination timeout expires, a flaky ~1-in-3
+    SIGABRT in the long e2e tests). Real TPU streams order executions; the
+    virtual-CPU mesh must serialize dispatches instead."""
+    return jax.default_backend() == "cpu" and jax.device_count() > 1
+
+
 def evaluate(trainer: Trainer, state: TrainState, eval_loader) -> Dict[str, float]:
     """Mirrors reference evaluation() (utils/train_utils.py:396-469)."""
     losses, accs, weights = [], [], []
@@ -68,6 +80,7 @@ def train(
         type("L", (), {"use_wandb": False, "log_file": None})()
     )
     rng = jax.random.PRNGKey(tc.seed)
+    serial_dispatch = _serial_dispatch_needed()
     best_val_loss = float("inf")
     results: Dict[str, Any] = {"epoch_times": [], "checkpoints": []}
     step = int(state["step"])
@@ -101,6 +114,8 @@ def train(
                 t0 = time.perf_counter()
                 with trainer.mesh:
                     state, metrics = trainer.train_step(state, trainer.put_batch(batch), sub)
+                    if serial_dispatch:
+                        jax.block_until_ready(metrics)
                 step += 1
                 steps_seen += 1
                 if step % log_interval == 0:

@@ -13,7 +13,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 virtual devices on a 1-core CI host oversubscribe the Eigen pool:
+    # XLA:CPU's in-process all-reduce rendezvous hard-kills the process
+    # (CHECK fail in rendezvous.cc) if any participant thread is starved
+    # past its default 40 s — observed as a flaky SIGABRT (~1 run in 3)
+    # in the long multi-collective e2e tests. Raise the warn/terminate
+    # timeouts so starvation waits instead of aborting.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

@@ -16,8 +16,17 @@ pytestmark = pytest.mark.slow
 
 def _stage_cfg(tmp_path, name, manifest, ckpt_path=None):
     cfg = tiny_run_config(manifest)
-    cfg.train_config.batch_size_training = 8  # 8-device CPU mesh (dp=-1)
+    cfg.train_config.batch_size_training = 8
     cfg.train_config.val_batch_size = 8
+    # single-device mesh: this is the longest multi-dispatch e2e test in the
+    # suite, and XLA:CPU's in-process collective rendezvous flakily
+    # CHECK-aborts it on the 8-virtual-device mesh (~1 run in 3; rendezvous
+    # keys collide across iterations of the fused step scan when the 1-core
+    # Eigen pool interleaves the device threads — train/loop.py
+    # _serial_dispatch_needed has the story). Mesh-sharded training is
+    # covered by the trainer/dryrun/multihost tests; THIS test's subject is
+    # the 3-stage curriculum resume chain, which is mesh-independent.
+    cfg.train_config.shard.dp = 1
     cfg.train_config.lr = 1e-2  # visible weight deltas
     cfg.train_config.warmup_steps = 1  # linear warmup: step 0 has lr 0
     cfg.train_config.num_epochs = 2  # 2 batches/epoch x 2 = 4 real steps

@@ -230,7 +230,7 @@ def main():
     ap.add_argument("--skip-trajectory", action="store_true")
     ap.add_argument(
         "--bwd", default="bf16",
-        choices=["bf16", "int8_rot", "int8_rot_mlp", "int8_sr", "int8"],
+        choices=["bf16", "int8_rot", "int8_rot_otf", "int8_rot_mlp", "int8_sr", "int8"],
         help="dx-dot mode for the int8 arm. 'bf16' (the shipped default) runs "
         "the full gated comparison and owns the artifact's top-level keys; "
         "other modes run the trajectory only and merge their result under "
